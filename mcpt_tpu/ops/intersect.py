@@ -1,0 +1,228 @@
+"""Batched ray-triangle intersection (Moller-Trumbore) for TPU.
+
+The reference tests one ray against one triangle at a time behind virtual
+calls (src/Triangle.cpp:48-106); here rays are a flat [R] batch and triangles
+an SoA block, so each step is a [R, C] vectorized VPU computation with a
+running-min reduction — no recursion, no branches.
+
+Epsilon parity with the reference:
+  * closest-hit: |det| < 1e-5 rejects (Triangle.cpp:54), accept
+    t in [t_min, t_max) with u>=0, v>=0, 1-u-v>=0 (Triangle.cpp:66)
+  * any-hit: |det| < 1e-6 rejects (Triangle.cpp:85), accept t in
+    [t_min, t_max] with u in [0,1], v>=0, u+v<=1 (Triangle.cpp:94-103)
+  * default ray interval t1=1e-4, t2=inf (Render.h:30)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from mcpt_tpu.scene import Geometry, Scene
+from mcpt_tpu.utils.math import cross, dot
+
+T_MIN = 1e-4  # reference Ray::t1 (src/Render.h:30)
+F32_MAX = jnp.finfo(jnp.float32).max
+DET_EPS_CLOSEST = 1e-5
+DET_EPS_ANY = 1e-6
+
+# Brute-force triangle chunk: one [R, CHUNK] wave per scan step.
+DEFAULT_CHUNK = 512
+
+
+@dataclass(frozen=True)
+class Hit:
+    """Closest-hit record for a ray batch. tri == -1 means miss."""
+
+    t: jnp.ndarray  # f32[R]
+    tri: jnp.ndarray  # i32[R]
+    u: jnp.ndarray  # f32[R] barycentric
+    v: jnp.ndarray  # f32[R]
+
+    @property
+    def valid(self) -> jnp.ndarray:
+        return self.tri >= 0
+
+
+jax.tree_util.register_dataclass(Hit, data_fields=["t", "tri", "u", "v"], meta_fields=[])
+
+
+def _mt_candidates(v0, e1, e2, org, dirn, det_eps):
+    """Moller-Trumbore for rays [R,3] x tris [C,3] -> t,u,v,det each [R,C].
+
+    Broadcast layout: rays on axis 0, triangles on axis 1.
+    """
+    o = org[:, None, :]  # [R,1,3]
+    d = dirn[:, None, :]
+    tv0 = v0[None, :, :]  # [1,C,3]
+    te1 = e1[None, :, :]
+    te2 = e2[None, :, :]
+
+    h = cross(d, te2)  # [R,C,3]
+    det = dot(te1, h)  # [R,C]
+    s = o - tv0
+    u = dot(s, h)
+    q = cross(s, te1)
+    v = dot(d, q)
+    t = dot(te2, q)
+    inv = jnp.where(jnp.abs(det) < det_eps, 0.0, 1.0 / det)
+    return t * inv, u * inv, v * inv, jnp.abs(det) >= det_eps
+
+
+def _closest_over_block(v0, e1, e2, tri_base, org, dirn, t_min, t_max, tri_valid=None):
+    """Closest hit of each ray against one triangle block.
+
+    Returns per-ray (t, local_tri_index_or_-1, u, v); t = +inf on miss.
+    `t_max` is the *exclusive* upper bound per ray ([R] or scalar).
+    """
+    t, u, v, ok = _mt_candidates(v0, e1, e2, org, dirn, DET_EPS_CLOSEST)
+    tm = jnp.asarray(t_min)
+    tM = jnp.asarray(t_max)
+    if tM.ndim == 1:
+        tM = tM[:, None]
+    if tm.ndim == 1:
+        tm = tm[:, None]
+    accept = ok & (t >= tm) & (t < tM) & (u >= 0) & (v >= 0) & (1.0 - u - v >= 0)
+    if tri_valid is not None:
+        accept = accept & tri_valid[None, :]
+    t_cand = jnp.where(accept, t, F32_MAX)
+    idx = jnp.argmin(t_cand, axis=1)  # [R]
+    r = jnp.arange(t_cand.shape[0])
+    best_t = t_cand[r, idx]
+    hit = best_t < F32_MAX
+    return (
+        best_t,
+        jnp.where(hit, tri_base + idx.astype(jnp.int32), -1),
+        u[r, idx],
+        v[r, idx],
+    )
+
+
+def _any_over_block(v0, e1, e2, org, dirn, t_min, t_max, tri_valid=None):
+    """Boolean any-hit of each ray against a block ([R] bool).
+
+    Inclusive t interval, matching reference Triangle::isIntersect.
+    """
+    t, u, v, ok = _mt_candidates(v0, e1, e2, org, dirn, DET_EPS_ANY)
+    tm = jnp.asarray(t_min)
+    tM = jnp.asarray(t_max)
+    if tM.ndim == 1:
+        tM = tM[:, None]
+    if tm.ndim == 1:
+        tm = tm[:, None]
+    accept = (
+        ok
+        & (u >= 0) & (u <= 1.0)
+        & (v >= 0) & (u + v <= 1.0)
+        & (t >= tm) & (t <= tM)
+    )
+    if tri_valid is not None:
+        accept = accept & tri_valid[None, :]
+    return jnp.any(accept, axis=1)
+
+
+def _pad_tris(geom: Geometry, chunk: int):
+    """Pad triangle arrays to a multiple of `chunk`; returns arrays + valid mask."""
+    T = geom.v0.shape[0]
+    Tp = max(chunk, ((T + chunk - 1) // chunk) * chunk)
+    pad = Tp - T
+    v0 = jnp.pad(geom.v0, ((0, pad), (0, 0)))
+    e1 = jnp.pad(geom.e1, ((0, pad), (0, 0)))
+    e2 = jnp.pad(geom.e2, ((0, pad), (0, 0)))
+    valid = jnp.arange(Tp) < T
+    return v0, e1, e2, valid, Tp
+
+
+def closest_hit_bruteforce(
+    scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX, chunk: int = DEFAULT_CHUNK
+) -> Hit:
+    """Intersect-all closest hit, tiled over triangle chunks with lax.scan.
+
+    For small scenes (cornell/veach class) this is faster on TPU than any
+    tree: zero divergence, pure VPU throughput.
+    """
+    geom = scene.geom
+    T = geom.v0.shape[0]
+    if T <= chunk:
+        t, tri, u, v = _closest_over_block(
+            geom.v0, geom.e1, geom.e2, 0, org, dirn, t_min, t_max
+        )
+        return Hit(t=t, tri=tri, u=u, v=v)
+
+    v0, e1, e2, valid, Tp = _pad_tris(geom, chunk)
+    n_chunks = Tp // chunk
+    v0c = v0.reshape(n_chunks, chunk, 3)
+    e1c = e1.reshape(n_chunks, chunk, 3)
+    e2c = e2.reshape(n_chunks, chunk, 3)
+    validc = valid.reshape(n_chunks, chunk)
+
+    R = org.shape[0]
+    init = (
+        jnp.full((R,), F32_MAX),
+        jnp.full((R,), -1, jnp.int32),
+        jnp.zeros((R,)),
+        jnp.zeros((R,)),
+    )
+
+    def body(carry, xs):
+        bt, btri, bu, bv = carry
+        cv0, ce1, ce2, cvalid, base = xs
+        t, tri, u, v = _closest_over_block(
+            cv0, ce1, ce2, base, org, dirn, t_min, t_max, tri_valid=cvalid
+        )
+        better = t < bt
+        return (
+            jnp.where(better, t, bt),
+            jnp.where(better, tri, btri),
+            jnp.where(better, u, bu),
+            jnp.where(better, v, bv),
+        ), None
+
+    bases = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
+    (bt, btri, bu, bv), _ = jax.lax.scan(body, init, (v0c, e1c, e2c, validc, bases))
+    return Hit(t=bt, tri=btri, u=bu, v=bv)
+
+
+def any_hit_bruteforce(
+    scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX, chunk: int = DEFAULT_CHUNK
+) -> jnp.ndarray:
+    """Boolean occlusion test (shadow rays), tiled like closest_hit."""
+    geom = scene.geom
+    T = geom.v0.shape[0]
+    if T <= chunk:
+        return _any_over_block(geom.v0, geom.e1, geom.e2, org, dirn, t_min, t_max)
+
+    v0, e1, e2, valid, Tp = _pad_tris(geom, chunk)
+    n_chunks = Tp // chunk
+    v0c = v0.reshape(n_chunks, chunk, 3)
+    e1c = e1.reshape(n_chunks, chunk, 3)
+    e2c = e2.reshape(n_chunks, chunk, 3)
+    validc = valid.reshape(n_chunks, chunk)
+
+    def body(carry, xs):
+        cv0, ce1, ce2, cvalid = xs
+        hit = _any_over_block(cv0, ce1, ce2, org, dirn, t_min, t_max, tri_valid=cvalid)
+        return carry | hit, None
+
+    init = jnp.zeros((org.shape[0],), bool)
+    out, _ = jax.lax.scan(body, init, (v0c, e1c, e2c, validc))
+    return out
+
+
+def closest_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
+    """Dispatch: BVH traversal when the scene has one, else brute force."""
+    if scene.bvh is not None:
+        from mcpt_tpu.ops.traverse import closest_hit_bvh
+
+        return closest_hit_bvh(scene, org, dirn, t_min, t_max)
+    return closest_hit_bruteforce(scene, org, dirn, t_min, t_max)
+
+
+def any_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> jnp.ndarray:
+    if scene.bvh is not None:
+        from mcpt_tpu.ops.traverse import any_hit_bvh
+
+        return any_hit_bvh(scene, org, dirn, t_min, t_max)
+    return any_hit_bruteforce(scene, org, dirn, t_min, t_max)

@@ -1,0 +1,125 @@
+"""Top-level progressive renderer.
+
+Reference equivalent: the main frame loop (src/main.cpp:21-37) +
+Render::render (src/Render.cpp:56-69): each step adds one (or more) samples
+per pixel to the film. The per-step work — ray gen, path trace, accumulate —
+is a single jitted XLA program with donated film state, so progressive
+rendering runs entirely on device.
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mcpt_tpu.render.camera import generate_rays
+from mcpt_tpu.render.film import Film, accumulate, make_film
+from mcpt_tpu.render.integrator import trace_paths
+from mcpt_tpu.scene import Scene
+
+
+@dataclass
+class RenderConfig:
+    max_bounces: int = 24
+    seed: int = 0
+    spp_per_pass: int = 1  # samples per pixel per device step
+    width: Optional[int] = None  # override camera WxH
+    height: Optional[int] = None
+
+
+@partial(jax.jit, static_argnames=("max_bounces", "spp_per_pass"), donate_argnames=("film",))
+def render_pass(
+    scene: Scene,
+    film: Film,
+    key: jnp.ndarray,
+    max_bounces: int,
+    spp_per_pass: int,
+) -> Film:
+    """Add `spp_per_pass` samples/pixel to the film. One XLA program."""
+    cam = scene.camera
+    W, H = cam.width, cam.height
+    R = W * H
+
+    def one_sample(film, s):
+        ks = jax.random.fold_in(key, s)
+        jitter = jax.random.uniform(jax.random.fold_in(ks, 0), (R, 2))
+        org, dirn = generate_rays(cam, jitter)
+        radiance = trace_paths(scene, org, dirn, ks, max_bounces=max_bounces)
+        # pixel i = y*W + x (Render.cpp:63); film rows are y.
+        img = radiance.reshape(H, W, 3)
+        return accumulate(film, img, spp_added=1.0), None
+
+    film, _ = jax.lax.scan(one_sample, film, jnp.arange(spp_per_pass))
+    return film
+
+
+class Renderer:
+    """Progressive renderer: build once, call `step()` repeatedly.
+
+    Mirrors the reference structure Render(Model) + frame loop, minus the
+    GLFW window: checkpoints/PNGs replace the live blit (SURVEY §2.2).
+    """
+
+    def __init__(self, scene: Scene, config: RenderConfig = None):
+        self.config = config or RenderConfig()
+        if self.config.width or self.config.height:
+            import dataclasses as dc
+
+            cam = dc.replace(
+                scene.camera,
+                width=self.config.width or scene.camera.width,
+                height=self.config.height or scene.camera.height,
+            )
+            scene = dc.replace(scene, camera=cam)
+        self.scene = scene
+        self.key = jax.random.PRNGKey(self.config.seed)
+        self.sample_idx = 0
+        self.film = make_film(scene.camera.height, scene.camera.width)
+        self.pass_times: list[float] = []
+
+    def step(self) -> Film:
+        """Render one pass (spp_per_pass samples/pixel). Returns the film."""
+        key = jax.random.fold_in(self.key, self.sample_idx)
+        t0 = time.perf_counter()
+        self.film = render_pass(
+            self.scene,
+            self.film,
+            key,
+            self.config.max_bounces,
+            self.config.spp_per_pass,
+        )
+        self.film.accum.block_until_ready()
+        self.pass_times.append(time.perf_counter() - t0)
+        self.sample_idx += self.config.spp_per_pass
+        return self.film
+
+    def render(self, spp: int, progress: Callable = None) -> Film:
+        """Render until `spp` total samples per pixel are accumulated."""
+        while self.sample_idx < spp:
+            self.step()
+            if progress is not None:
+                progress(self)
+        return self.film
+
+    def save(self, path: str) -> str:
+        from mcpt_tpu.render.film import save
+
+        return save(self.film, path)
+
+    @property
+    def stats(self) -> dict:
+        """Per-pass metrics (rays/s uses primary rays only; see bench.py for
+        the full traced-ray accounting)."""
+        n = self.scene.camera.width * self.scene.camera.height
+        t = self.pass_times[-1] if self.pass_times else float("nan")
+        return {
+            "passes": len(self.pass_times),
+            "spp": self.sample_idx,
+            "last_pass_s": t,
+            "paths_per_s": n * self.config.spp_per_pass / t if t == t else float("nan"),
+            "nan_scrubbed": int(self.film.nan_count),
+        }
