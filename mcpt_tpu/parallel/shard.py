@@ -1,0 +1,162 @@
+"""Sharded progressive rendering: shard_map over a ('tiles', 'spp') mesh.
+
+TPU-native replacement for the reference's OpenMP pixel loop
+(src/Render.cpp:60-68, its only parallelism): image row blocks shard over
+the 'tiles' axis, sample indices shard over the 'spp' axis, the scene is
+replicated, and the only collective is a psum of film accumulators over
+'spp' (compiled onto ICI). Because the RNG is counter-based per (pixel,
+sample) (utils/rng.py), the sharded result is BITWISE equal to the
+single-device render for the same seed.
+
+Runs identically on a real TPU slice or on a virtual CPU mesh
+(--xla_force_host_platform_device_count), which is how CI covers it.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from mcpt_tpu.parallel.mesh import film_sharding, make_mesh
+from mcpt_tpu.render.camera import generate_rays
+from mcpt_tpu.render.film import Film, make_film
+from mcpt_tpu.render.integrator import trace_paths
+from mcpt_tpu.scene import Scene
+from mcpt_tpu.utils.rng import per_ray_keys, ray_uniforms
+
+
+def make_film_sharded(scene: Scene, mesh) -> Film:
+    H, W = scene.camera.height, scene.camera.width
+    film = make_film(H, W)
+    return Film(
+        accum=jax.device_put(film.accum, film_sharding(mesh)),
+        spp=film.spp,
+        nan_count=film.nan_count,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "max_bounces", "spp_per_pass"),
+    donate_argnames=("film",),
+)
+def render_pass_sharded(
+    scene: Scene,
+    film: Film,
+    key: jnp.ndarray,
+    start_idx: jnp.ndarray,
+    mesh,
+    max_bounces: int,
+    spp_per_pass: int,
+) -> Film:
+    """Add spp_per_pass samples/pixel, sharded over the mesh.
+
+    Requires H % n_tiles == 0 and spp_per_pass % n_spp == 0.
+    """
+    cam = scene.camera
+    W, H = cam.width, cam.height
+    nt = mesh.shape["tiles"]
+    ns = mesh.shape["spp"]
+    assert H % nt == 0, f"image height {H} not divisible by tiles={nt}"
+    assert spp_per_pass % ns == 0, f"spp_per_pass {spp_per_pass} % spp axis {ns}"
+    rows = H // nt
+    local_spp = spp_per_pass // ns
+
+    def local_pass(accum, spp_ct, nan_ct):
+        # accum: [rows, W, 3] this device's film rows
+        ti = jax.lax.axis_index("tiles")
+        si = jax.lax.axis_index("spp")
+        row0 = ti.astype(jnp.int32) * rows
+        pixel_idx = row0 * W + jnp.arange(rows * W, dtype=jnp.int32)
+
+        def one_sample(carry, s):
+            acc, nan_c = carry
+            g = start_idx + si.astype(jnp.int32) * local_spp + s
+            ks = jax.random.fold_in(key, g)
+            ray_keys = per_ray_keys(ks, pixel_idx)
+            jitter = ray_uniforms(ray_keys, 0, 2)
+            org, dirn = generate_rays(cam, jitter, pixel_idx)
+            radiance = trace_paths(scene, org, dirn, ray_keys, max_bounces=max_bounces)
+            nan_mask = jnp.isnan(radiance)
+            radiance = jnp.where(nan_mask, 0.0, radiance)
+            acc = acc + radiance.reshape(rows, W, 3)
+            return (acc, nan_c + jnp.sum(nan_mask).astype(jnp.int32)), None
+
+        (local_acc, local_nan), _ = jax.lax.scan(
+            one_sample,
+            (jnp.zeros((rows, W, 3)), jnp.zeros((), jnp.int32)),
+            jnp.arange(local_spp, dtype=jnp.int32),
+        )
+        # sum sample shards over ICI; every 'spp' peer then holds the total
+        local_acc = jax.lax.psum(local_acc, "spp")
+        total_nan = jax.lax.psum(jax.lax.psum(local_nan, "spp"), "tiles")
+        return accum + local_acc, spp_ct + spp_per_pass, nan_ct + total_nan
+
+    accum, spp_ct, nan_ct = jax.shard_map(
+        local_pass,
+        mesh=mesh,
+        in_specs=(P("tiles", None, None), P(), P()),
+        out_specs=(P("tiles", None, None), P(), P()),
+        # the per-device RNG stream (axis_index-derived) makes carries
+        # "varying" over mesh axes; outputs are made consistent by the psums
+        check_vma=False,
+    )(film.accum, film.spp, film.nan_count)
+    return Film(accum=accum, spp=spp_ct, nan_count=nan_ct)
+
+
+class ShardedRenderer:
+    """Progressive renderer over a device mesh. API mirrors render.Renderer."""
+
+    def __init__(self, scene: Scene, mesh=None, max_bounces: int = 24,
+                 spp_per_pass: Optional[int] = None, seed: int = 0,
+                 width: Optional[int] = None, height: Optional[int] = None):
+        import dataclasses as dc
+
+        if width or height:
+            cam = dc.replace(
+                scene.camera,
+                width=width or scene.camera.width,
+                height=height or scene.camera.height,
+            )
+            scene = dc.replace(scene, camera=cam)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        # replicate the scene across the mesh once
+        from mcpt_tpu.parallel.mesh import replicated
+
+        self.scene = jax.device_put(scene, replicated(self.mesh))
+        self.max_bounces = max_bounces
+        self.spp_per_pass = spp_per_pass or self.mesh.shape["spp"]
+        self.key = jax.random.PRNGKey(seed)
+        self.sample_idx = 0
+        self.film = make_film_sharded(self.scene, self.mesh)
+        self.pass_times = []
+
+    def step(self) -> Film:
+        t0 = time.perf_counter()
+        self.film = render_pass_sharded(
+            self.scene,
+            self.film,
+            self.key,
+            jnp.asarray(self.sample_idx, jnp.int32),
+            self.mesh,
+            self.max_bounces,
+            self.spp_per_pass,
+        )
+        self.film.accum.block_until_ready()
+        self.pass_times.append(time.perf_counter() - t0)
+        self.sample_idx += self.spp_per_pass
+        return self.film
+
+    def render(self, spp: int) -> Film:
+        while self.sample_idx < spp:
+            self.step()
+        return self.film
+
+    def save(self, path: str) -> str:
+        from mcpt_tpu.render.film import save
+
+        return save(self.film, path)

@@ -148,14 +148,17 @@ def trace_paths(
     scene: Scene,
     org: jnp.ndarray,
     dirn: jnp.ndarray,
-    key: jnp.ndarray,
+    ray_keys: jnp.ndarray,
     max_bounces: int = 24,
 ) -> jnp.ndarray:
     """Trace a batch of camera rays to radiance [R,3].
 
-    `key` seeds the per-bounce counter-based RNG; uniforms are drawn as
-    [R, 7] blocks per bounce (deterministic for a fixed seed/shape).
+    `ray_keys` are per-ray counter-based PRNG keys (utils/rng.py), so the
+    result for a pixel is independent of batching/sharding; uniforms are
+    drawn as [R, 7] blocks per bounce.
     """
+    from mcpt_tpu.utils.rng import ray_uniforms
+
     R = org.shape[0]
     t_min = RAY_EPS_REL * scene.scale
     n_lights = scene.num_lights
@@ -172,8 +175,7 @@ def trace_paths(
 
     def bounce_body(carry, b):
         (org_c, dir_c, point, nrm, uv, front, mat_id, area, L, beta, active) = carry
-        kb = jax.random.fold_in(key, b + 1)
-        u = jax.random.uniform(kb, (R, 7))
+        u = ray_uniforms(ray_keys, b + 1, 7)
 
         mats = scene.mats
         kd_tex = texture_kd(scene, mat_id, uv)

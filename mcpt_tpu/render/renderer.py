@@ -36,19 +36,29 @@ def render_pass(
     scene: Scene,
     film: Film,
     key: jnp.ndarray,
+    start_idx: jnp.ndarray,
     max_bounces: int,
     spp_per_pass: int,
 ) -> Film:
-    """Add `spp_per_pass` samples/pixel to the film. One XLA program."""
+    """Add `spp_per_pass` samples/pixel to the film. One XLA program.
+
+    Sample s of the pass is globally identified as start_idx + s: the RNG
+    stream of a (pixel, sample) pair is independent of pass batching.
+    """
     cam = scene.camera
     W, H = cam.width, cam.height
     R = W * H
 
+    from mcpt_tpu.utils.rng import per_ray_keys, ray_uniforms
+
+    pixel_idx = jnp.arange(R, dtype=jnp.int32)
+
     def one_sample(film, s):
-        ks = jax.random.fold_in(key, s)
-        jitter = jax.random.uniform(jax.random.fold_in(ks, 0), (R, 2))
-        org, dirn = generate_rays(cam, jitter)
-        radiance = trace_paths(scene, org, dirn, ks, max_bounces=max_bounces)
+        ks = jax.random.fold_in(key, start_idx + s)
+        ray_keys = per_ray_keys(ks, pixel_idx)
+        jitter = ray_uniforms(ray_keys, 0, 2)
+        org, dirn = generate_rays(cam, jitter, pixel_idx)
+        radiance = trace_paths(scene, org, dirn, ray_keys, max_bounces=max_bounces)
         # pixel i = y*W + x (Render.cpp:63); film rows are y.
         img = radiance.reshape(H, W, 3)
         return accumulate(film, img, spp_added=1.0), None
@@ -83,12 +93,12 @@ class Renderer:
 
     def step(self) -> Film:
         """Render one pass (spp_per_pass samples/pixel). Returns the film."""
-        key = jax.random.fold_in(self.key, self.sample_idx)
         t0 = time.perf_counter()
         self.film = render_pass(
             self.scene,
             self.film,
-            key,
+            self.key,
+            jnp.asarray(self.sample_idx, jnp.int32),
             self.config.max_bounces,
             self.config.spp_per_pass,
         )

@@ -5,16 +5,23 @@ Multi-chip sharding is validated without TPU hardware via
 SURVEY §4). This must run before the first `import jax` anywhere.
 """
 import os
+import sys
 
-# Disable the axon TPU plugin (sitecustomize registers it only when
-# PALLAS_AXON_POOL_IPS is set) and force an 8-device CPU host platform.
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Force an 8-device virtual CPU mesh. The TPU (axon) plugin may already be
+# registered by sitecustomize at interpreter startup, but the backend is
+# initialized lazily — overriding jax_platforms before first device use
+# reliably lands on CPU. XLA_FLAGS must be set before the CPU client exists.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/mcpt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest
