@@ -211,9 +211,15 @@ def any_hit_bruteforce(
     return out
 
 
+# Below this triangle count, intersect-everything beats any tree on TPU:
+# the [R, C] Moller-Trumbore wave is pure VPU work with zero divergence,
+# while pointer-chasing traversal serializes into per-ray gather loops.
+BRUTE_FORCE_MAX_TRIS = 4096
+
+
 def closest_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
-    """Dispatch: BVH traversal when the scene has one, else brute force."""
-    if scene.bvh is not None:
+    """Dispatch: dense intersect-all for small scenes, BVH for large ones."""
+    if scene.bvh is not None and scene.num_tris > BRUTE_FORCE_MAX_TRIS:
         from mcpt_tpu.ops.traverse import closest_hit_bvh
 
         return closest_hit_bvh(scene, org, dirn, t_min, t_max)
@@ -221,7 +227,7 @@ def closest_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
 
 
 def any_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> jnp.ndarray:
-    if scene.bvh is not None:
+    if scene.bvh is not None and scene.num_tris > BRUTE_FORCE_MAX_TRIS:
         from mcpt_tpu.ops.traverse import any_hit_bvh
 
         return any_hit_bvh(scene, org, dirn, t_min, t_max)

@@ -77,10 +77,9 @@ def render_pass_sharded(
             acc, nan_c = carry
             g = start_idx + si.astype(jnp.int32) * local_spp + s
             ks = jax.random.fold_in(key, g)
-            ray_keys = per_ray_keys(ks, pixel_idx)
-            jitter = ray_uniforms(ray_keys, 0, 2)
-            org, dirn = generate_rays(cam, jitter, pixel_idx)
-            radiance = trace_paths(scene, org, dirn, ray_keys, max_bounces=max_bounces)
+            from mcpt_tpu.render.integrator import trace_image
+
+            radiance = trace_image(scene, cam, ks, pixel_idx, max_bounces)
             nan_mask = jnp.isnan(radiance)
             radiance = jnp.where(nan_mask, 0.0, radiance)
             acc = acc + radiance.reshape(rows, W, 3)

@@ -150,7 +150,8 @@ def trace_paths(
     dirn: jnp.ndarray,
     ray_keys: jnp.ndarray,
     max_bounces: int = 24,
-) -> jnp.ndarray:
+    with_stats: bool = False,
+):
     """Trace a batch of camera rays to radiance [R,3].
 
     `ray_keys` are per-ray counter-based PRNG keys (utils/rng.py), so the
@@ -174,7 +175,8 @@ def trace_paths(
     active = hit.valid
 
     def bounce_body(carry, b):
-        (org_c, dir_c, point, nrm, uv, front, mat_id, area, L, beta, active) = carry
+        (org_c, dir_c, point, nrm, uv, front, mat_id, area, L, beta, active, nrays) = carry
+        entered = active  # lanes doing real work this bounce (NEE + path ray)
         u = ray_uniforms(ray_keys, b + 1, 7)
 
         mats = scene.mats
@@ -272,13 +274,76 @@ def trace_paths(
         beta = jnp.where(survived[:, None], beta / jnp.maximum(q, 1e-30)[:, None], beta)
         active = active & ~killed
 
+        # traced-ray accounting: one path ray + one shadow ray per lane that
+        # entered this bounce (the reference additionally re-traces the path
+        # ray at the loop head, which we don't replicate)
+        nrays = nrays + jnp.sum(entered.astype(jnp.int32)) * 2
+
         carry = (
             point, wi_world, n_point, n_nrm, n_uv, n_front, n_mat, n_area,
-            L, beta, active,
+            L, beta, active, nrays,
         )
         return carry, None
 
-    carry = (org, dirn, point, nrm, uv, front, mat_id, area, L, beta, active)
+    nrays0 = jnp.asarray(R, jnp.int32)  # primary rays
+    carry = (org, dirn, point, nrm, uv, front, mat_id, area, L, beta, active, nrays0)
     carry, _ = jax.lax.scan(bounce_body, carry, jnp.arange(max_bounces))
     L = carry[8]
+    if with_stats:
+        return L, carry[11]
     return L
+
+
+# Rays per wavefront chunk. Bounds the [chunk, T] intersection working set to
+# VMEM-friendly sizes; one 1024^2 pass streams 16 chunks through the same
+# program instead of materializing ~400 MB [R,T,3] intermediates in HBM.
+DEFAULT_CHUNK_RAYS = 65536
+
+
+def trace_image(
+    scene: Scene,
+    cam,
+    sample_key: jnp.ndarray,
+    pixel_idx: jnp.ndarray,
+    max_bounces: int,
+    chunk_rays: int = DEFAULT_CHUNK_RAYS,
+    with_stats: bool = False,
+):
+    """Trace one sample for `pixel_idx` pixels, chunked over the ray batch.
+
+    Returns radiance [R,3] (and traced-ray count if with_stats). The RNG is
+    keyed by global pixel id, so chunking does not change any sample.
+    """
+    from mcpt_tpu.render.camera import generate_rays
+    from mcpt_tpu.utils.rng import per_ray_keys, ray_uniforms
+
+    R = pixel_idx.shape[0]
+    chunk = min(chunk_rays, R)
+    n_chunks = -(-R // chunk)
+    Rp = n_chunks * chunk
+    # padded lanes re-trace pixel 0; their output is discarded
+    pidx = jnp.concatenate([pixel_idx, jnp.zeros((Rp - R,), jnp.int32)])
+
+    def body(nrays, pidx_chunk):
+        ray_keys = per_ray_keys(sample_key, pidx_chunk)
+        jitter = ray_uniforms(ray_keys, 0, 2)
+        org, dirn = generate_rays(cam, jitter, pidx_chunk)
+        out = trace_paths(
+            scene, org, dirn, ray_keys, max_bounces=max_bounces, with_stats=with_stats
+        )
+        if with_stats:
+            rad, nr = out
+            return nrays + nr, rad
+        return nrays, out
+
+    if n_chunks == 1:
+        nrays, rad = body(jnp.zeros((), jnp.int32), pidx)
+        rad = rad[:R]
+    else:
+        nrays, rads = jax.lax.scan(
+            body, jnp.zeros((), jnp.int32), pidx.reshape(n_chunks, chunk)
+        )
+        rad = rads.reshape(Rp, 3)[:R]
+    if with_stats:
+        return rad, nrays
+    return rad

@@ -31,8 +31,7 @@ class RenderConfig:
     height: Optional[int] = None
 
 
-@partial(jax.jit, static_argnames=("max_bounces", "spp_per_pass"), donate_argnames=("film",))
-def render_pass(
+def render_pass_impl(
     scene: Scene,
     film: Film,
     key: jnp.ndarray,
@@ -49,22 +48,23 @@ def render_pass(
     W, H = cam.width, cam.height
     R = W * H
 
-    from mcpt_tpu.utils.rng import per_ray_keys, ray_uniforms
+    from mcpt_tpu.render.integrator import trace_image
 
     pixel_idx = jnp.arange(R, dtype=jnp.int32)
 
     def one_sample(film, s):
         ks = jax.random.fold_in(key, start_idx + s)
-        ray_keys = per_ray_keys(ks, pixel_idx)
-        jitter = ray_uniforms(ray_keys, 0, 2)
-        org, dirn = generate_rays(cam, jitter, pixel_idx)
-        radiance = trace_paths(scene, org, dirn, ray_keys, max_bounces=max_bounces)
+        radiance = trace_image(scene, cam, ks, pixel_idx, max_bounces)
         # pixel i = y*W + x (Render.cpp:63); film rows are y.
         img = radiance.reshape(H, W, 3)
         return accumulate(film, img, spp_added=1.0), None
 
     film, _ = jax.lax.scan(one_sample, film, jnp.arange(spp_per_pass))
     return film
+
+
+render_pass = partial(jax.jit, static_argnames=("max_bounces", "spp_per_pass"),
+                      donate_argnames=("film",))(render_pass_impl)
 
 
 class Renderer:
