@@ -40,12 +40,9 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/mcpt_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    import jax.numpy as jnp
     import numpy as np
 
     from mcpt_tpu.io.obj import load_scene
-    from mcpt_tpu.render.bench import instrumented_pass, count_rays_per_pass
-    from mcpt_tpu.render.film import make_film
     from mcpt_tpu.render.renderer import RenderConfig, Renderer
 
     scene = load_scene(args.scene, with_bvh=True)
@@ -63,22 +60,18 @@ def main():
         ),
     )
 
-    # measure traced rays per pass once (instrumented variant, same program
-    # shape), then time the production pass
-    rays_per_pass = count_rays_per_pass(
-        scene, r.config, sample_start=0
-    )
-    sys.stderr.write(f"[bench] traced rays per pass: {rays_per_pass:.3e}\n")
-
-    # warmup + compile
+    # warmup + compile (ray counts accumulate on-device in film.rays)
     r.step()
+    rays_before = float(r.film.rays)
     n_passes = max(1, args.spp // args.spp_per_pass - 1)
     t0 = time.perf_counter()
     for _ in range(n_passes):
         r.step()
+    # true device sync: host readback (block_until_ready is unreliable
+    # through the remote-TPU relay)
+    total_rays = float(r.film.rays) - rays_before
     dt = time.perf_counter() - t0
 
-    total_rays = rays_per_pass * n_passes
     mrays = total_rays / dt / 1e6
     time_to_image = (args.spp / args.spp_per_pass) * (dt / n_passes)
     sys.stderr.write(

@@ -36,6 +36,7 @@ def make_film_sharded(scene: Scene, mesh) -> Film:
         accum=jax.device_put(film.accum, film_sharding(mesh)),
         spp=film.spp,
         nan_count=film.nan_count,
+        rays=film.rays,
     )
 
 
@@ -66,7 +67,7 @@ def render_pass_sharded(
     rows = H // nt
     local_spp = spp_per_pass // ns
 
-    def local_pass(accum, spp_ct, nan_ct):
+    def local_pass(accum, spp_ct, nan_ct, ray_ct):
         # accum: [rows, W, 3] this device's film rows
         ti = jax.lax.axis_index("tiles")
         si = jax.lax.axis_index("spp")
@@ -74,37 +75,49 @@ def render_pass_sharded(
         pixel_idx = row0 * W + jnp.arange(rows * W, dtype=jnp.int32)
 
         def one_sample(carry, s):
-            acc, nan_c = carry
+            acc, nan_c, ray_c = carry
             g = start_idx + si.astype(jnp.int32) * local_spp + s
             ks = jax.random.fold_in(key, g)
             from mcpt_tpu.render.integrator import trace_image
 
-            radiance = trace_image(scene, cam, ks, pixel_idx, max_bounces)
+            radiance, nrays = trace_image(
+                scene, cam, ks, pixel_idx, max_bounces, with_stats=True
+            )
             nan_mask = jnp.isnan(radiance)
             radiance = jnp.where(nan_mask, 0.0, radiance)
             acc = acc + radiance.reshape(rows, W, 3)
-            return (acc, nan_c + jnp.sum(nan_mask).astype(jnp.int32)), None
+            return (
+                acc,
+                nan_c + jnp.sum(nan_mask).astype(jnp.int32),
+                ray_c + nrays.astype(jnp.float32),
+            ), None
 
-        (local_acc, local_nan), _ = jax.lax.scan(
+        (local_acc, local_nan, local_rays), _ = jax.lax.scan(
             one_sample,
-            (jnp.zeros((rows, W, 3)), jnp.zeros((), jnp.int32)),
+            (jnp.zeros((rows, W, 3)), jnp.zeros((), jnp.int32), jnp.zeros(())),
             jnp.arange(local_spp, dtype=jnp.int32),
         )
         # sum sample shards over ICI; every 'spp' peer then holds the total
         local_acc = jax.lax.psum(local_acc, "spp")
         total_nan = jax.lax.psum(jax.lax.psum(local_nan, "spp"), "tiles")
-        return accum + local_acc, spp_ct + spp_per_pass, nan_ct + total_nan
+        total_rays = jax.lax.psum(jax.lax.psum(local_rays, "spp"), "tiles")
+        return (
+            accum + local_acc,
+            spp_ct + spp_per_pass,
+            nan_ct + total_nan,
+            ray_ct + total_rays,
+        )
 
-    accum, spp_ct, nan_ct = jax.shard_map(
+    accum, spp_ct, nan_ct, ray_ct = jax.shard_map(
         local_pass,
         mesh=mesh,
-        in_specs=(P("tiles", None, None), P(), P()),
-        out_specs=(P("tiles", None, None), P(), P()),
+        in_specs=(P("tiles", None, None), P(), P(), P()),
+        out_specs=(P("tiles", None, None), P(), P(), P()),
         # the per-device RNG stream (axis_index-derived) makes carries
         # "varying" over mesh axes; outputs are made consistent by the psums
         check_vma=False,
-    )(film.accum, film.spp, film.nan_count)
-    return Film(accum=accum, spp=spp_ct, nan_count=nan_ct)
+    )(film.accum, film.spp, film.nan_count, film.rays)
+    return Film(accum=accum, spp=spp_ct, nan_count=nan_ct, rays=ray_ct)
 
 
 class ShardedRenderer:
@@ -145,7 +158,7 @@ class ShardedRenderer:
             self.max_bounces,
             self.spp_per_pass,
         )
-        self.film.accum.block_until_ready()
+        float(self.film.spp)  # true sync via host readback
         self.pass_times.append(time.perf_counter() - t0)
         self.sample_idx += self.spp_per_pass
         return self.film

@@ -20,10 +20,11 @@ class Film:
     accum: jnp.ndarray  # f32[H,W,3] radiance sum
     spp: jnp.ndarray  # f32[] samples accumulated per pixel (uniform)
     nan_count: jnp.ndarray  # i32[] total NaN components scrubbed
+    rays: jnp.ndarray  # f32[] traced rays accumulated (primary+path+shadow)
 
 
 jax.tree_util.register_dataclass(
-    Film, data_fields=["accum", "spp", "nan_count"], meta_fields=[]
+    Film, data_fields=["accum", "spp", "nan_count", "rays"], meta_fields=[]
 )
 
 
@@ -32,10 +33,13 @@ def make_film(height: int, width: int) -> Film:
         accum=jnp.zeros((height, width, 3)),
         spp=jnp.zeros(()),
         nan_count=jnp.zeros((), jnp.int32),
+        rays=jnp.zeros(()),
     )
 
 
-def accumulate(film: Film, radiance: jnp.ndarray, spp_added: float = 1.0) -> Film:
+def accumulate(
+    film: Film, radiance: jnp.ndarray, spp_added: float = 1.0, rays_added=0.0
+) -> Film:
     """radiance: f32[S, H, W, 3] (S sample layers) or [H, W, 3]."""
     if radiance.ndim == 3:
         radiance = radiance[None]
@@ -45,6 +49,7 @@ def accumulate(film: Film, radiance: jnp.ndarray, spp_added: float = 1.0) -> Fil
         accum=film.accum + jnp.sum(scrubbed, axis=0),
         spp=film.spp + spp_added,
         nan_count=film.nan_count + jnp.sum(nan_mask).astype(jnp.int32),
+        rays=film.rays + rays_added,
     )
 
 
@@ -72,6 +77,7 @@ def checkpoint_save(film: Film, path: str, seed: int, sample_idx: int) -> None:
         accum=np.asarray(film.accum),
         spp=np.asarray(film.spp),
         nan_count=np.asarray(film.nan_count),
+        rays=np.asarray(film.rays),
         seed=seed,
         sample_idx=sample_idx,
     )
@@ -83,5 +89,6 @@ def checkpoint_load(path: str):
         accum=jnp.asarray(z["accum"]),
         spp=jnp.asarray(z["spp"]),
         nan_count=jnp.asarray(z["nan_count"]),
+        rays=jnp.asarray(z["rays"]) if "rays" in z else jnp.zeros(()),
     )
     return film, int(z["seed"]), int(z["sample_idx"])

@@ -26,9 +26,12 @@ Differences by design (not bugs):
     once and the hit record is carried;
   * recursion/unbounded loop -> fixed `max_bounces` scan (RR makes the tail
     contribution negligible) so the whole program is one XLA computation;
-  * per-ray counter-based RNG (threefry fold_in per bounce) replaces the
-    racy shared mt19937 (src/utils.h:23-28, SURVEY §5);
-  * secondary rays use a scene-relative t_min (f32 vs the reference's f64).
+  * counter-based threefry RNG replaces the racy shared mt19937
+    (src/utils.h:23-28, SURVEY §5);
+  * secondary rays use a scene-relative t_min (f32 vs the reference's f64);
+  * per-hit data (geometry + material) comes from ONE packed table row per
+    triangle via a one-hot MXU matmul (ops/gather.py) instead of ~12 scalar
+    gathers — TPU dynamic gathers serialize on the scalar core.
 
 Sampling decisions, pdfs, and RR are wrapped in stop_gradient so the same
 code path yields detached-sampling gradients for materials/emission
@@ -37,11 +40,11 @@ code path yields detached-sampling gradients for materials/emission
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 
+from mcpt_tpu.ops.gather import gather_rows
 from mcpt_tpu.ops.intersect import F32_MAX, Hit, any_hit, closest_hit
 from mcpt_tpu.render.bsdf import bsdf_fx, bsdf_pdf, bsdf_sample, build_lobes
 from mcpt_tpu.render.onb import make_onb, to_local, to_world
@@ -59,102 +62,159 @@ RR_START_BOUNCE = 3  # RR applies when bounces > 3 (Render.cpp:164)
 RR_CLAMP = 0.95
 
 
+# ---------------------------------------------------------------------------
+# Packed per-triangle table: geometry + per-face material in one row, so a
+# hit expands through a single gather_rows call.
+# Columns: v0(0:3) e1(3:6) e2(6:9) vn(9:18) uv(18:24) area(24)
+#          kd(25:28) ks(28:31) ns(31) radiance(32:35) tex_id(35)
+# ---------------------------------------------------------------------------
+
+TRI_TABLE_COLS = 36
+
+
+def pack_tri_table(scene: Scene) -> jnp.ndarray:
+    g, m = scene.geom, scene.mats
+    T = g.v0.shape[0]
+    mat = g.mat_id
+    return jnp.concatenate(
+        [
+            g.v0,
+            g.e1,
+            g.e2,
+            g.vn.reshape(T, 9),
+            g.uv.reshape(T, 6),
+            g.area[:, None],
+            m.kd[mat],
+            m.ks[mat],
+            m.ns[mat][:, None],
+            m.radiance[mat],
+            m.tex_id[mat][:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def pack_light_table(scene: Scene) -> jnp.ndarray:
+    """Light rows: v0(0:3) e1(3:6) e2(6:9) vn(9:18) radiance(18:21) area(21)."""
+    g, m = scene.geom, scene.mats
+    lt = scene.light_tris
+    L = lt.shape[0]
+    return jnp.concatenate(
+        [
+            g.v0[lt],
+            g.e1[lt],
+            g.e2[lt],
+            g.vn[lt].reshape(L, 9),
+            m.radiance[g.mat_id[lt]],
+            g.area[lt][:, None],
+        ],
+        axis=1,
+    )
+
+
 @dataclass(frozen=True)
-class PathState:
-    org: jnp.ndarray  # f32[R,3] origin of the ray that produced `hit`
-    dirn: jnp.ndarray  # f32[R,3]
-    hit_t: jnp.ndarray  # f32[R]
-    hit_tri: jnp.ndarray  # i32[R]
-    hit_u: jnp.ndarray
-    hit_v: jnp.ndarray
-    L: jnp.ndarray  # f32[R,3] accumulated radiance
-    beta: jnp.ndarray  # f32[R,3] path throughput
-    active: jnp.ndarray  # bool[R]
+class HitData:
+    """Expanded shading data at a hit (reference hitInfo, Render.h:14-24,
+    plus the per-face material the reference reaches via shared_ptr)."""
+
+    point: jnp.ndarray  # [R,3]
+    normal: jnp.ndarray  # [R,3]
+    uv: jnp.ndarray  # [R,2]
+    front: jnp.ndarray  # bool[R]
+    area: jnp.ndarray  # [R] (lightarea when emissive)
+    kd: jnp.ndarray  # [R,3] (texture NOT yet applied)
+    ks: jnp.ndarray  # [R,3]
+    ns: jnp.ndarray  # [R]
+    radiance: jnp.ndarray  # [R,3]
+    tex_id: jnp.ndarray  # i32[R]
+    valid: jnp.ndarray  # bool[R]
 
 
 jax.tree_util.register_dataclass(
-    PathState,
-    data_fields=["org", "dirn", "hit_t", "hit_tri", "hit_u", "hit_v", "L", "beta", "active"],
+    HitData,
+    data_fields=[
+        "point", "normal", "uv", "front", "area", "kd", "ks", "ns",
+        "radiance", "tex_id", "valid",
+    ],
     meta_fields=[],
 )
 
 
-def texture_kd(scene: Scene, mat_id, uv):
+def expand_hit(tri_table: jnp.ndarray, hit: Hit, dirn: jnp.ndarray) -> HitData:
+    """Hit -> HitData via one packed-row gather (reference Triangle.cpp:66-78)."""
+    rows = gather_rows(tri_table, jnp.maximum(hit.tri, 0))
+    u = hit.u[:, None]
+    v = hit.v[:, None]
+    w = 1.0 - u - v
+    v0, e1, e2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+    vn = rows[:, 9:18].reshape(-1, 3, 3)
+    uvs = rows[:, 18:24].reshape(-1, 3, 2)
+    point = v0 + u * e1 + v * e2  # == interplote_Vertex (Triangle.cpp:68)
+    n = normalize(w * vn[:, 0] + u * vn[:, 1] + v * vn[:, 2])
+    uv = w * uvs[:, 0] + u * uvs[:, 1] + v * uvs[:, 2]
+    return HitData(
+        point=point,
+        normal=n,
+        uv=uv,
+        front=dot(n, dirn) < 0,  # Triangle.cpp:71
+        area=rows[:, 24],
+        kd=rows[:, 25:28],
+        ks=rows[:, 28:31],
+        ns=rows[:, 31],
+        radiance=rows[:, 32:35],
+        tex_id=rows[:, 35].astype(jnp.int32),
+        valid=hit.valid,
+    )
+
+
+def apply_texture(scene: Scene, h: HitData) -> jnp.ndarray:
     """Diffuse reflectance with nearest-neighbor texture lookup.
 
     Matches reference Texture::get_color (src/model.cpp:30-41): fract + clamp
-    to [0, 0.999], x = int(u*w), row-major top-down, no filtering.
+    to [0, 0.999], x = int(u*w), row-major top-down, no filtering. Skipped
+    entirely when the scene has no image textures.
     """
-    kd_const = scene.mats.kd[mat_id]  # [R,3]
-    tex_id = scene.mats.tex_id[mat_id]
-    has_tex = tex_id >= 0
     if scene.atlas.data.shape[0] == 1 and scene.atlas.data.shape[1] == 1:
-        # no textures in scene: skip the gather entirely
-        return kd_const
-    tid = jnp.maximum(tex_id, 0)
-    wh = scene.atlas.size[tid]  # [R,2]
-    u = jnp.clip(uv[:, 0] - jnp.floor(uv[:, 0]), 0.0, 0.999)
-    v = jnp.clip(uv[:, 1] - jnp.floor(uv[:, 1]), 0.0, 0.999)
+        return h.kd
+    tid = jnp.maximum(h.tex_id, 0)
+    wh = scene.atlas.size[tid]
+    u = jnp.clip(h.uv[:, 0] - jnp.floor(h.uv[:, 0]), 0.0, 0.999)
+    v = jnp.clip(h.uv[:, 1] - jnp.floor(h.uv[:, 1]), 0.0, 0.999)
     x = (u * wh[:, 0]).astype(jnp.int32)
     y = (v * wh[:, 1]).astype(jnp.int32)
-    texel = scene.atlas.data[tid, y, x]  # [R,3]
-    return jnp.where(has_tex[:, None], texel, kd_const)
+    texel = scene.atlas.data[tid, y, x]
+    return jnp.where((h.tex_id >= 0)[:, None], texel, h.kd)
 
 
-def gather_hit_info(scene: Scene, hit: Hit, dirn):
-    """Expand a Hit into shading quantities (reference Triangle.cpp:66-78)."""
-    g = scene.geom
-    tri = jnp.maximum(hit.tri, 0)
-    v0 = g.v0[tri]
-    e1 = g.e1[tri]
-    e2 = g.e2[tri]
-    u = hit.u[:, None]
-    v = hit.v[:, None]
-    point = v0 + u * e1 + v * e2  # == interplote_Vertex (Triangle.cpp:68)
-    vn = g.vn[tri]  # [R,3,3]
-    n = normalize((1.0 - u - v) * vn[:, 0] + u * vn[:, 1] + v * vn[:, 2])
-    uvs = g.uv[tri]  # [R,3,2]
-    uv = (1.0 - u - v) * uvs[:, 0] + u * uvs[:, 1] + v * uvs[:, 2]
-    front = dot(n, dirn) < 0  # Triangle.cpp:71
-    mat_id = g.mat_id[tri]
-    area = g.area[tri]
-    return point, n, uv, front, mat_id, area
-
-
-def sample_light_point(scene: Scene, u0, u1, u2):
+def sample_light_point(light_table: jnp.ndarray, n_lights: int, u0, u1, u2):
     """Uniform light-triangle point (reference Render::sample + sample_Point2).
 
     Returns (point [R,3], normal [R,3], radiance [R,3], area [R]).
     """
-    g = scene.geom
-    n_lights = scene.num_lights
     idx = jnp.minimum((u0 * n_lights).astype(jnp.int32), n_lights - 1)
-    tri = scene.light_tris[idx]
+    rows = gather_rows(light_table, idx)
     # reflection trick for uniform barycentrics (Triangle.cpp:15-22)
     flip = u1 + u2 > 1.0
     bu = jnp.where(flip, 1.0 - u1, u1)[:, None]
     bv = jnp.where(flip, 1.0 - u2, u2)[:, None]
-    v0 = g.v0[tri]
-    e1 = g.e1[tri]
-    e2 = g.e2[tri]
+    v0, e1, e2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+    vn = rows[:, 9:18].reshape(-1, 3, 3)
     point = v0 + bu * e1 + bv * e2
-    vn = g.vn[tri]
     nrm = normalize((1.0 - bu - bv) * vn[:, 0] + bu * vn[:, 1] + bv * vn[:, 2])
-    rad = scene.mats.radiance[g.mat_id[tri]]
-    return point, nrm, rad, g.area[tri]
+    return point, nrm, rows[:, 18:21], rows[:, 21]
 
 
 def trace_paths(
     scene: Scene,
     org: jnp.ndarray,
     dirn: jnp.ndarray,
-    ray_keys: jnp.ndarray,
+    ray_keys,
     max_bounces: int = 24,
     with_stats: bool = False,
 ):
     """Trace a batch of camera rays to radiance [R,3].
 
-    `ray_keys` are per-ray counter-based PRNG keys (utils/rng.py), so the
+    `ray_keys` is the counter-based RNG context (utils/rng.py), so the
     result for a pixel is independent of batching/sharding; uniforms are
     drawn as [R, 7] blocks per bounce.
     """
@@ -163,34 +223,34 @@ def trace_paths(
     R = org.shape[0]
     t_min = RAY_EPS_REL * scene.scale
     n_lights = scene.num_lights
+    tri_table = pack_tri_table(scene)
+    light_table = pack_light_table(scene) if n_lights > 0 else None
 
     hit = closest_hit(scene, org, dirn, t_min=t_min)
-    point, nrm, uv, front, mat_id, area = gather_hit_info(scene, hit, dirn)
+    h = expand_hit(tri_table, hit, dirn)
 
     # bounce-0 direct emission (Render.cpp:121-122)
-    rad0 = scene.mats.radiance[mat_id]
-    emis0 = jnp.sqrt(jnp.sum(rad0 * rad0, axis=-1)) > EMIT_DIRECT_THRESH
-    L = jnp.where((hit.valid & emis0)[:, None], rad0, 0.0)
+    emis0 = jnp.sqrt(jnp.sum(h.radiance * h.radiance, axis=-1)) > EMIT_DIRECT_THRESH
+    L = jnp.where((h.valid & emis0)[:, None], h.radiance, 0.0)
     beta = jnp.ones((R, 3))
-    active = hit.valid
+    active = h.valid
 
     def bounce_body(carry, b):
-        (org_c, dir_c, point, nrm, uv, front, mat_id, area, L, beta, active, nrays) = carry
+        dir_c, h, L, beta, active, nrays = carry
         entered = active  # lanes doing real work this bounce (NEE + path ray)
         u = ray_uniforms(ray_keys, b + 1, 7)
 
-        mats = scene.mats
-        kd_tex = texture_kd(scene, mat_id, uv)
-        lobes = build_lobes(kd_tex, mats.ks[mat_id], mats.ns[mat_id])
-        onb = make_onb(nrm)
+        kd_tex = apply_texture(scene, h)
+        lobes = build_lobes(kd_tex, h.ks, h.ns)
+        onb = make_onb(h.normal)
         wo_local = to_local(onb, -dir_c)
 
         # ---------------- NEE (Render.cpp:124-130) ----------------
         if n_lights > 0:
             lpoint, lnrm, lrad, larea = sample_light_point(
-                scene, u[:, 0], u[:, 1], u[:, 2]
+                light_table, n_lights, u[:, 0], u[:, 1], u[:, 2]
             )
-            d = lpoint - point
+            d = lpoint - h.point
             dist2 = jnp.sum(d * d, axis=-1)
             dist = jnp.sqrt(dist2)
             wl = d / jnp.maximum(dist, 1e-30)[:, None]
@@ -205,15 +265,14 @@ def trace_paths(
             # visibility: any-hit over (t_min, dist) — the reference's
             # inclusive t<=t2 bound would let the light occlude itself at
             # f32, so the upper bound backs off by a relative epsilon.
-            shadow_org = point
             occluded = any_hit(
-                scene, sg(shadow_org), wl, t_min=t_min, t_max=sg(dist) * (1.0 - 1e-3)
+                scene, sg(h.point), wl, t_min=t_min, t_max=sg(dist) * (1.0 - 1e-3)
             )
             wl_local = to_local(onb, wl)
             bp = sg(bsdf_pdf(lobes, wo_local, wl_local))
             w_mis = power_heuristic(pdf_l / n_lights, bp)
             fx = bsdf_fx(lobes, wo_local, wl_local)
-            cos_s = jnp.abs(dot(nrm, wl))
+            cos_s = jnp.abs(dot(h.normal, wl))
             contrib = (
                 w_mis[:, None]
                 * beta
@@ -234,37 +293,34 @@ def trace_paths(
         is_mirror = sg(is_mirror)
         active = active & (pdf != 0.0)
         wi_world = to_world(onb, wi_local)
-        cos_s = jnp.abs(dot(nrm, wi_world))
+        cos_s = jnp.abs(dot(h.normal, wi_world))
         beta_new = beta * f * (cos_s / jnp.where(pdf != 0, pdf, 1.0))[:, None]
         beta = jnp.where(active[:, None], beta_new, beta)
 
         # ---------------- look-ahead trace (Render.cpp:142-162) -------------
-        nxt = closest_hit(scene, sg(point), wi_world, t_min=t_min)
-        n_point, n_nrm, n_uv, n_front, n_mat, n_area = gather_hit_info(
-            scene, nxt, wi_world
-        )
-        rad_n = scene.mats.radiance[n_mat]
-        emis_n = jnp.sqrt(jnp.sum(rad_n * rad_n, axis=-1)) > 0.0  # truthiness
-        hit_light = active & nxt.valid & emis_n & n_front
+        nxt = closest_hit(scene, sg(h.point), wi_world, t_min=t_min)
+        hn = expand_hit(tri_table, nxt, wi_world)
+        emis_n = jnp.sqrt(jnp.sum(hn.radiance**2, axis=-1)) > 0.0  # truthiness
+        hit_light = active & hn.valid & emis_n & hn.front
 
-        dl = point - n_point
+        dl = h.point - hn.point
         dist2l = jnp.sum(dl * dl, axis=-1)
-        cos_nl = dot(normalize(dl, eps=1e-30), n_nrm)
+        cos_nl = dot(normalize(dl, eps=1e-30), hn.normal)
         light_pdf = jnp.where(
             cos_nl != 0.0,
             dist2l
             / jnp.where(cos_nl != 0.0, cos_nl, 1.0)
             / jnp.maximum(float(max(n_lights, 1)), 1.0)
-            / jnp.maximum(n_area, 1e-30),
+            / jnp.maximum(hn.area, 1e-30),
             0.0,
         )
         w_hit = power_heuristic(pdf, sg(light_pdf))
         emit_contrib = jnp.where(
-            is_mirror[:, None], beta * rad_n, beta * rad_n * w_hit[:, None]
+            is_mirror[:, None], beta * hn.radiance, beta * hn.radiance * w_hit[:, None]
         )
         L = L + jnp.where(hit_light[:, None], emit_contrib, 0.0)
 
-        active = active & nxt.valid
+        active = active & hn.valid
 
         # ---------------- Russian roulette (Render.cpp:164-170) -------------
         q = sg(jnp.minimum(jnp.max(beta, axis=-1), RR_CLAMP))
@@ -279,18 +335,14 @@ def trace_paths(
         # ray at the loop head, which we don't replicate)
         nrays = nrays + jnp.sum(entered.astype(jnp.int32)) * 2
 
-        carry = (
-            point, wi_world, n_point, n_nrm, n_uv, n_front, n_mat, n_area,
-            L, beta, active, nrays,
-        )
-        return carry, None
+        return (wi_world, hn, L, beta, active, nrays), None
 
     nrays0 = jnp.asarray(R, jnp.int32)  # primary rays
-    carry = (org, dirn, point, nrm, uv, front, mat_id, area, L, beta, active, nrays0)
+    carry = (dirn, h, L, beta, active, nrays0)
     carry, _ = jax.lax.scan(bounce_body, carry, jnp.arange(max_bounces))
-    L = carry[8]
+    L = carry[2]
     if with_stats:
-        return L, carry[11]
+        return L, carry[5]
     return L
 
 

@@ -54,10 +54,14 @@ def render_pass_impl(
 
     def one_sample(film, s):
         ks = jax.random.fold_in(key, start_idx + s)
-        radiance = trace_image(scene, cam, ks, pixel_idx, max_bounces)
+        radiance, nrays = trace_image(
+            scene, cam, ks, pixel_idx, max_bounces, with_stats=True
+        )
         # pixel i = y*W + x (Render.cpp:63); film rows are y.
         img = radiance.reshape(H, W, 3)
-        return accumulate(film, img, spp_added=1.0), None
+        return accumulate(
+            film, img, spp_added=1.0, rays_added=nrays.astype(jnp.float32)
+        ), None
 
     film, _ = jax.lax.scan(one_sample, film, jnp.arange(spp_per_pass))
     return film
@@ -102,7 +106,9 @@ class Renderer:
             self.config.max_bounces,
             self.config.spp_per_pass,
         )
-        self.film.accum.block_until_ready()
+        # host readback of a scalar = true device sync (block_until_ready is
+        # unreliable through the remote-TPU relay)
+        float(self.film.spp)
         self.pass_times.append(time.perf_counter() - t0)
         self.sample_idx += self.config.spp_per_pass
         return self.film
@@ -122,14 +128,17 @@ class Renderer:
 
     @property
     def stats(self) -> dict:
-        """Per-pass metrics (rays/s uses primary rays only; see bench.py for
-        the full traced-ray accounting)."""
+        """Per-pass metrics (traced rays measured on device, SURVEY §5)."""
         n = self.scene.camera.width * self.scene.camera.height
         t = self.pass_times[-1] if self.pass_times else float("nan")
+        total_t = sum(self.pass_times)
+        rays = float(self.film.rays)
         return {
             "passes": len(self.pass_times),
             "spp": self.sample_idx,
             "last_pass_s": t,
             "paths_per_s": n * self.config.spp_per_pass / t if t == t else float("nan"),
+            "traced_rays": rays,
+            "mrays_per_s": rays / total_t / 1e6 if total_t > 0 else float("nan"),
             "nan_scrubbed": int(self.film.nan_count),
         }

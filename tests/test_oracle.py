@@ -34,11 +34,14 @@ def test_cornell_pixels_correlate_with_oracle(cornell_scene):
     spp = 32
     img_t = _tpu_image(cornell_scene, w, h, spp, bounces=10)
     img_o = render_oracle(cornell_scene, w, h, spp, max_bounces=10, seed=7)
-    a = img_t.reshape(-1)
-    b = img_o.reshape(-1)
-    corr = np.corrcoef(np.minimum(a, 2.0), np.minimum(b, 2.0))[0, 1]
-    # at 32 spp residual MC noise caps attainable correlation ~0.98
-    assert corr > 0.97, corr
+    # 4x4 block means average out per-pixel MC noise (effective spp x16)
+    def blocks(im):
+        return im.reshape(6, 4, 6, 4, 3).mean(axis=(1, 3)).reshape(-1)
+
+    a = np.minimum(blocks(img_t), 2.0)
+    b = np.minimum(blocks(img_o), 2.0)
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.99, corr
 
 
 def test_veach_mean_matches_oracle(veach_scene):
