@@ -1,0 +1,150 @@
+"""Inverse rendering: recover material albedo + light emission from a target
+image by gradient descent on pixel-space MSE (the BASELINE.json config:
+"recover cornell-box albedo + light emission via pixel gradients, Adam").
+
+The optimization step (render -> loss -> grad -> Adam update) is one jitted
+XLA program; the sharded variant shard_maps the render over the device mesh
+and psums the parameter gradients over ICI — the renderer's analog of
+data-parallel training with gradient all-reduce (SURVEY §2.3).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mcpt_tpu.diff.grad import (
+    SceneParams,
+    apply_params,
+    extract_params,
+    mse_loss,
+    mse_loss_dual,
+)
+from mcpt_tpu.scene import Scene
+
+
+class InverseState(NamedTuple):
+    params: SceneParams
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def make_inverse_step(
+    scene: Scene,
+    target: jnp.ndarray,
+    spp: int = 4,
+    max_bounces: int = 6,
+    learning_rate: float = 2e-2,
+    param_mask: Optional[SceneParams] = None,
+):
+    """Build (init_state, step_fn). step_fn is jitted end-to-end.
+
+    `param_mask` (0/1 per entry) freezes parameters where 0 — e.g. optimize
+    only the albedo of selected materials.
+    """
+    opt = optax.adam(learning_rate)
+
+    def init(params: SceneParams) -> InverseState:
+        return InverseState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+
+    @jax.jit
+    def step_fn(state: InverseState, key) -> tuple:
+        k = jax.random.fold_in(key, state.step)
+        loss, grads = jax.value_and_grad(mse_loss_dual)(
+            state.params, scene, target, k, spp, max_bounces
+        )
+        if param_mask is not None:
+            grads = jax.tree.map(lambda g, m: g * m, grads, param_mask)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # physical constraints: reflectances in [0,1], emission >= 0
+        params = SceneParams(
+            kd=jnp.clip(params.kd, 0.0, 1.0),
+            ks=jnp.clip(params.ks, 0.0, 1.0),
+            radiance=jnp.maximum(params.radiance, 0.0),
+        )
+        return InverseState(params=params, opt_state=opt_state, step=state.step + 1), loss
+
+    return init, step_fn
+
+
+def run_inverse(
+    scene: Scene,
+    target: jnp.ndarray,
+    init_params: SceneParams,
+    steps: int = 500,
+    spp: int = 4,
+    max_bounces: int = 6,
+    learning_rate: float = 2e-2,
+    seed: int = 0,
+    param_mask: Optional[SceneParams] = None,
+    progress: Optional[Callable] = None,
+):
+    """Adam loop. Returns (final_params, loss_history)."""
+    init, step_fn = make_inverse_step(
+        scene, target, spp, max_bounces, learning_rate, param_mask
+    )
+    state = init(init_params)
+    key = jax.random.PRNGKey(seed)
+    losses = []
+    for i in range(steps):
+        state, loss = step_fn(state, key)
+        losses.append(float(loss))
+        if progress is not None and (i % 25 == 0 or i == steps - 1):
+            progress(i, losses[-1], state.params)
+    return state.params, losses
+
+
+# ---------------------------------------------------------------------------
+# Sharded gradient step (used by __graft_entry__.dryrun_multichip)
+# ---------------------------------------------------------------------------
+
+def dryrun_grad_step(scene: Scene, mesh) -> None:
+    """One sharded render->grad->Adam step over the mesh: film rows shard
+    over 'tiles', the scene + params replicate, parameter grads psum over
+    the whole mesh (the renderer's gradient all-reduce)."""
+    from jax.sharding import PartitionSpec as P
+
+    from mcpt_tpu.render.camera import generate_rays
+    from mcpt_tpu.render.integrator import trace_image
+
+    cam = scene.camera
+    W, H = cam.width, cam.height
+    nt = mesh.shape["tiles"]
+    rows = H // nt
+    params = extract_params(scene)
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    key = jax.random.PRNGKey(0)
+
+    def local_loss(params, key):
+        sc = apply_params(scene, params)
+        ti = jax.lax.axis_index("tiles")
+        row0 = ti.astype(jnp.int32) * rows
+        pixel_idx = row0 * W + jnp.arange(rows * W, dtype=jnp.int32)
+        rad = trace_image(sc, sc.camera, key, pixel_idx, max_bounces=3)
+        # local MSE against black, summed over the mesh
+        local = jnp.sum(rad**2) / (W * H * 3)
+        return jax.lax.psum(jax.lax.psum(local, "tiles"), "spp")
+
+    sharded_loss = jax.shard_map(
+        local_loss,
+        mesh=mesh,
+        in_specs=(P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def train_step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(lambda p: sharded_loss(p, key))(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params, opt_state, loss = train_step(params, opt_state, key)
+    jax.block_until_ready(loss)
+    assert float(loss) >= 0.0

@@ -260,6 +260,8 @@ def trace_paths(
                 dist2 / jnp.where(cos_l != 0.0, cos_l, 1.0) / jnp.maximum(larea, 1e-30),
                 0.0,
             )
+            # sanitize: a denormal cos_l can push pdf_l to inf
+            pdf_l = jnp.where(jnp.isfinite(pdf_l), pdf_l, 0.0)
             pdf_l = sg(pdf_l)
             wl = sg(wl)
             # visibility: any-hit over (t_min, dist) — the reference's
@@ -273,15 +275,20 @@ def trace_paths(
             w_mis = power_heuristic(pdf_l / n_lights, bp)
             fx = bsdf_fx(lobes, wo_local, wl_local)
             cos_s = jnp.abs(dot(h.normal, wl))
+            pdf_ok = jnp.abs(pdf_l) > 1e-20
             contrib = (
                 w_mis[:, None]
                 * beta
                 * lrad
                 * fx
-                * (cos_s / jnp.where(pdf_l != 0, pdf_l, 1.0))[:, None]
+                * (cos_s / jnp.where(pdf_ok, pdf_l, 1.0))[:, None]
                 * n_lights
             )
-            nee_ok = active & (pdf_l != 0.0) & ~occluded
+            # |pdf_l| below ~1e-20 means the light point effectively
+            # coincides with the shading point (denormal d^2): the weighted
+            # contribution is analytically ~0 but evaluates as 0 * inf = NaN
+            # at f32, so those samples are dropped outright.
+            nee_ok = active & pdf_ok & ~occluded
             L = L + jnp.where(nee_ok[:, None], contrib, 0.0)
 
         # ---------------- BSDF sampling (Render.cpp:133-140) ----------------
@@ -291,10 +298,14 @@ def trace_paths(
         pdf = sg(pdf)
         wi_local = sg(wi_local)
         is_mirror = sg(is_mirror)
-        active = active & (pdf != 0.0)
+        # reference terminates on pdf == 0 (Render.cpp:135); the threshold is
+        # raised to 1e-24 so denormal pdfs can't overflow beta to inf (such
+        # samples are pure-firefly weight anyway)
+        bsdf_ok = jnp.abs(pdf) > 1e-24
+        active = active & bsdf_ok
         wi_world = to_world(onb, wi_local)
         cos_s = jnp.abs(dot(h.normal, wi_world))
-        beta_new = beta * f * (cos_s / jnp.where(pdf != 0, pdf, 1.0))[:, None]
+        beta_new = beta * f * (cos_s / jnp.where(bsdf_ok, pdf, 1.0))[:, None]
         beta = jnp.where(active[:, None], beta_new, beta)
 
         # ---------------- look-ahead trace (Render.cpp:142-162) -------------

@@ -53,9 +53,14 @@ def luminance(c: jnp.ndarray) -> jnp.ndarray:
 def power_heuristic(p1: jnp.ndarray, p2: jnp.ndarray) -> jnp.ndarray:
     """MIS power heuristic beta=2, matching reference src/utils.h:56-60.
 
-    The reference computes p1^2/(p1^2+p2^2) with no zero guard; we guard the
-    0/0 case (both pdfs zero) to 0 to avoid NaN poisoning masked lanes.
+    The reference computes p1^2/(p1^2+p2^2) with no guards; at f32 a
+    degenerate pdf can reach inf (inf/inf = NaN) and NaNs poison gradients
+    even on masked lanes (0-cotangent x inf-partial). Inputs are clipped to
+    +-1e16 (squares stay < f32 max) and 0/0 maps to 0 — both only affect
+    samples whose weighted contribution is already ~0 or ~1.
     """
+    p1 = jnp.clip(p1, -1e16, 1e16)
+    p2 = jnp.clip(p2, -1e16, 1e16)
     a = p1 * p1
     denom = a + p2 * p2
     return jnp.where(denom > 0, a / jnp.where(denom > 0, denom, 1.0), 0.0)
