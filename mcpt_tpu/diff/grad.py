@@ -64,7 +64,7 @@ def render_image(
 
     def one(acc, s):
         ks = jax.random.fold_in(key, s)
-        rad = trace_image(sc, cam, ks, pixel_idx, max_bounces)
+        rad = trace_image(sc, cam, ks, pixel_idx, max_bounces, differentiable=True)
         # scrub non-finite samples like the film does (reference
         # Scene.cpp:15-18); backward contribution of scrubbed lanes is 0
         rad = jnp.where(jnp.isfinite(rad), rad, 0.0)

@@ -126,7 +126,7 @@ def dryrun_grad_step(scene: Scene, mesh) -> None:
         ti = jax.lax.axis_index("tiles")
         row0 = ti.astype(jnp.int32) * rows
         pixel_idx = row0 * W + jnp.arange(rows * W, dtype=jnp.int32)
-        rad = trace_image(sc, sc.camera, key, pixel_idx, max_bounces=3)
+        rad = trace_image(sc, sc.camera, key, pixel_idx, max_bounces=3, differentiable=True)
         # local MSE against black, summed over the mesh
         local = jnp.sum(rad**2) / (W * H * 3)
         return jax.lax.psum(jax.lax.psum(local, "tiles"), "spp")

@@ -34,19 +34,39 @@ DEFAULT_CHUNK = 512
 
 @dataclass(frozen=True)
 class Hit:
-    """Closest-hit record for a ray batch. tri == -1 means miss."""
+    """Closest-hit record for a ray batch. tri == -1 means miss.
+
+    Deliberately carries only (t, tri): barycentrics are recomputed at
+    shading time from the gathered triangle row (integrator.expand_hit).
+    Selecting per-ray u/v out of the [R, C] candidate wave needs dynamic
+    row gathers, which break XLA fusion on TPU and cost ~60x the fully
+    fused intersection kernel; two extra min-reductions don't.
+    """
 
     t: jnp.ndarray  # f32[R]
     tri: jnp.ndarray  # i32[R]
-    u: jnp.ndarray  # f32[R] barycentric
-    v: jnp.ndarray  # f32[R]
 
     @property
     def valid(self) -> jnp.ndarray:
         return self.tri >= 0
 
 
-jax.tree_util.register_dataclass(Hit, data_fields=["t", "tri", "u", "v"], meta_fields=[])
+jax.tree_util.register_dataclass(Hit, data_fields=["t", "tri"], meta_fields=[])
+
+_IDX_BIG = jnp.int32(2**30)
+
+
+def _min_and_first_index(t_cand: jnp.ndarray, base_idx: jnp.ndarray, axis: int):
+    """(min t, index of the first minimum) via two fused reductions.
+
+    Equivalent to argmin + gather but stays inside one XLA fusion: no
+    dynamic per-row gathers. `base_idx` broadcasts against t_cand and
+    gives each candidate its global triangle id.
+    """
+    tbest = jnp.min(t_cand, axis=axis)
+    sel = t_cand <= jnp.expand_dims(tbest, axis)
+    idx = jnp.min(jnp.where(sel, base_idx, _IDX_BIG), axis=axis)
+    return tbest, idx
 
 
 def _mt_candidates(v0, e1, e2, org, dirn, det_eps):
@@ -74,8 +94,9 @@ def _mt_candidates(v0, e1, e2, org, dirn, det_eps):
 def _closest_over_block(v0, e1, e2, tri_base, org, dirn, t_min, t_max, tri_valid=None):
     """Closest hit of each ray against one triangle block.
 
-    Returns per-ray (t, local_tri_index_or_-1, u, v); t = +inf on miss.
+    Returns per-ray (t, global_tri_index_or_-1); t = +inf on miss.
     `t_max` is the *exclusive* upper bound per ray ([R] or scalar).
+    Fully fused: min-reductions only, no dynamic gathers (see Hit).
     """
     t, u, v, ok = _mt_candidates(v0, e1, e2, org, dirn, DET_EPS_CLOSEST)
     tm = jnp.asarray(t_min)
@@ -88,16 +109,10 @@ def _closest_over_block(v0, e1, e2, tri_base, org, dirn, t_min, t_max, tri_valid
     if tri_valid is not None:
         accept = accept & tri_valid[None, :]
     t_cand = jnp.where(accept, t, F32_MAX)
-    idx = jnp.argmin(t_cand, axis=1)  # [R]
-    r = jnp.arange(t_cand.shape[0])
-    best_t = t_cand[r, idx]
-    hit = best_t < F32_MAX
-    return (
-        best_t,
-        jnp.where(hit, tri_base + idx.astype(jnp.int32), -1),
-        u[r, idx],
-        v[r, idx],
-    )
+    C = t_cand.shape[1]
+    base = tri_base + jnp.arange(C, dtype=jnp.int32)[None, :]
+    best_t, idx = _min_and_first_index(t_cand, base, axis=1)
+    return best_t, jnp.where(best_t < F32_MAX, idx, -1)
 
 
 def _any_over_block(v0, e1, e2, org, dirn, t_min, t_max, tri_valid=None):
@@ -146,10 +161,10 @@ def closest_hit_bruteforce(
     geom = scene.geom
     T = geom.v0.shape[0]
     if T <= chunk:
-        t, tri, u, v = _closest_over_block(
+        t, tri = _closest_over_block(
             geom.v0, geom.e1, geom.e2, 0, org, dirn, t_min, t_max
         )
-        return Hit(t=t, tri=tri, u=u, v=v)
+        return Hit(t=t, tri=tri)
 
     v0, e1, e2, valid, Tp = _pad_tris(geom, chunk)
     n_chunks = Tp // chunk
@@ -162,27 +177,23 @@ def closest_hit_bruteforce(
     init = (
         jnp.full((R,), F32_MAX),
         jnp.full((R,), -1, jnp.int32),
-        jnp.zeros((R,)),
-        jnp.zeros((R,)),
     )
 
     def body(carry, xs):
-        bt, btri, bu, bv = carry
+        bt, btri = carry
         cv0, ce1, ce2, cvalid, base = xs
-        t, tri, u, v = _closest_over_block(
+        t, tri = _closest_over_block(
             cv0, ce1, ce2, base, org, dirn, t_min, t_max, tri_valid=cvalid
         )
         better = t < bt
         return (
             jnp.where(better, t, bt),
             jnp.where(better, tri, btri),
-            jnp.where(better, u, bu),
-            jnp.where(better, v, bv),
         ), None
 
     bases = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
-    (bt, btri, bu, bv), _ = jax.lax.scan(body, init, (v0c, e1c, e2c, validc, bases))
-    return Hit(t=bt, tri=btri, u=bu, v=bv)
+    (bt, btri), _ = jax.lax.scan(body, init, (v0c, e1c, e2c, validc, bases))
+    return Hit(t=bt, tri=btri)
 
 
 def any_hit_bruteforce(

@@ -26,6 +26,7 @@ from mcpt_tpu.ops.intersect import (
     F32_MAX,
     Hit,
     T_MIN,
+    _min_and_first_index,
 )
 from mcpt_tpu.scene import Scene
 from mcpt_tpu.utils.math import cross, dot
@@ -74,7 +75,7 @@ def closest_hit_bvh(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
         return jnp.any(node >= 0)
 
     def body(state):
-        node, bt, btri, bu, bv = state
+        node, bt, btri = state
         n = jnp.maximum(node, 0)
         lo = bvh.lo[n]  # [R,3]
         hi = bvh.hi[n]
@@ -106,31 +107,26 @@ def closest_hit_bvh(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
             & (1.0 - u - v >= 0)
         )
         t_cand = jnp.where(accept, t, F32_MAX)
-        kbest = jnp.argmin(t_cand, axis=1)
-        rr = jnp.arange(R)
-        leaf_t = t_cand[rr, kbest]
+        # fused min + first-min index (leaf tri ids ascend with k), no gathers
+        leaf_t, leaf_tri = _min_and_first_index(t_cand, tri_idx, axis=1)
         better = leaf_t < bt
         bt = jnp.where(better, leaf_t, bt)
-        btri = jnp.where(better, tri_idx[rr, kbest], btri)
-        bu = jnp.where(better, u[rr, kbest], bu)
-        bv = jnp.where(better, v[rr, kbest], bv)
+        btri = jnp.where(better, leaf_tri, btri)
 
         # --- advance cursor ---
         descend = box_hit & ~is_leaf
         nxt = jnp.where(descend, n + 1, skp)
         node = jnp.where(live, nxt, -1)
-        return node, bt, btri, bu, bv
+        return node, bt, btri
 
     init = (
         jnp.zeros((R,), jnp.int32),
         jnp.full((R,), F32_MAX),
         jnp.full((R,), -1, jnp.int32),
-        jnp.zeros((R,)),
-        jnp.zeros((R,)),
     )
-    _, bt, btri, bu, bv = jax.lax.while_loop(cond, body, init)
+    _, bt, btri = jax.lax.while_loop(cond, body, init)
     miss = btri < 0
-    return Hit(t=jnp.where(miss, F32_MAX, bt), tri=btri, u=bu, v=bv)
+    return Hit(t=jnp.where(miss, F32_MAX, bt), tri=btri)
 
 
 def any_hit_bvh(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> jnp.ndarray:

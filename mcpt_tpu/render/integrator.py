@@ -49,7 +49,7 @@ from mcpt_tpu.ops.intersect import F32_MAX, Hit, any_hit, closest_hit
 from mcpt_tpu.render.bsdf import bsdf_fx, bsdf_pdf, bsdf_sample, build_lobes
 from mcpt_tpu.render.onb import make_onb, to_local, to_world
 from mcpt_tpu.scene import Scene
-from mcpt_tpu.utils.math import dot, normalize, power_heuristic
+from mcpt_tpu.utils.math import cross, dot, normalize, power_heuristic
 
 sg = jax.lax.stop_gradient
 
@@ -140,13 +140,26 @@ jax.tree_util.register_dataclass(
 )
 
 
-def expand_hit(tri_table: jnp.ndarray, hit: Hit, dirn: jnp.ndarray) -> HitData:
-    """Hit -> HitData via one packed-row gather (reference Triangle.cpp:66-78)."""
+def expand_hit(
+    tri_table: jnp.ndarray, hit: Hit, org: jnp.ndarray, dirn: jnp.ndarray
+) -> HitData:
+    """Hit -> HitData via one packed-row gather (reference Triangle.cpp:66-78).
+
+    Barycentrics are recomputed here from the gathered triangle row (same
+    Moller-Trumbore algebra that accepted the hit, so bit-identical inputs);
+    carrying them out of the [R, C] intersection wave would need dynamic
+    gathers that break XLA fusion (see ops/intersect.Hit).
+    """
     rows = gather_rows(tri_table, jnp.maximum(hit.tri, 0))
-    u = hit.u[:, None]
-    v = hit.v[:, None]
-    w = 1.0 - u - v
     v0, e1, e2 = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+    hv = cross(dirn, e2)
+    det = dot(e1, hv)
+    inv = jnp.where(jnp.abs(det) > 0, 1.0 / jnp.where(det != 0, det, 1.0), 0.0)
+    s = org - v0
+    q = cross(s, e1)
+    u = (dot(s, hv) * inv)[:, None]
+    v = (dot(dirn, q) * inv)[:, None]
+    w = 1.0 - u - v
     vn = rows[:, 9:18].reshape(-1, 3, 3)
     uvs = rows[:, 18:24].reshape(-1, 3, 2)
     point = v0 + u * e1 + v * e2  # == interplote_Vertex (Triangle.cpp:68)
@@ -211,12 +224,18 @@ def trace_paths(
     ray_keys,
     max_bounces: int = 24,
     with_stats: bool = False,
+    differentiable: bool = False,
 ):
     """Trace a batch of camera rays to radiance [R,3].
 
     `ray_keys` is the counter-based RNG context (utils/rng.py), so the
     result for a pixel is independent of batching/sharding; uniforms are
     drawn as [R, 7] blocks per bounce.
+
+    The bounce loop is a `lax.while_loop` that exits as soon as every lane
+    has terminated (RR kills most paths well before max_bounces), except
+    when `differentiable=True`, which uses a fixed `lax.scan` so reverse-mode
+    AD works; both run the identical bounce body, so results are bitwise equal.
     """
     from mcpt_tpu.utils.rng import ray_uniforms
 
@@ -227,7 +246,7 @@ def trace_paths(
     light_table = pack_light_table(scene) if n_lights > 0 else None
 
     hit = closest_hit(scene, org, dirn, t_min=t_min)
-    h = expand_hit(tri_table, hit, dirn)
+    h = expand_hit(tri_table, hit, org, dirn)
 
     # bounce-0 direct emission (Render.cpp:121-122)
     emis0 = jnp.sqrt(jnp.sum(h.radiance * h.radiance, axis=-1)) > EMIT_DIRECT_THRESH
@@ -310,7 +329,7 @@ def trace_paths(
 
         # ---------------- look-ahead trace (Render.cpp:142-162) -------------
         nxt = closest_hit(scene, sg(h.point), wi_world, t_min=t_min)
-        hn = expand_hit(tri_table, nxt, wi_world)
+        hn = expand_hit(tri_table, nxt, sg(h.point), wi_world)
         emis_n = jnp.sqrt(jnp.sum(hn.radiance**2, axis=-1)) > 0.0  # truthiness
         hit_light = active & hn.valid & emis_n & hn.front
 
@@ -350,7 +369,20 @@ def trace_paths(
 
     nrays0 = jnp.asarray(R, jnp.int32)  # primary rays
     carry = (dirn, h, L, beta, active, nrays0)
-    carry, _ = jax.lax.scan(bounce_body, carry, jnp.arange(max_bounces))
+    if differentiable:
+        carry, _ = jax.lax.scan(bounce_body, carry, jnp.arange(max_bounces))
+    else:
+        # early-exit bounce loop: stop when every lane is retired
+        def w_cond(state):
+            b, c = state
+            return (b < max_bounces) & jnp.any(c[4])
+
+        def w_body(state):
+            b, c = state
+            c, _ = bounce_body(c, b)
+            return b + 1, c
+
+        _, carry = jax.lax.while_loop(w_cond, w_body, (jnp.asarray(0, jnp.int32), carry))
     L = carry[2]
     if with_stats:
         return L, carry[5]
@@ -371,11 +403,14 @@ def trace_image(
     max_bounces: int,
     chunk_rays: int = DEFAULT_CHUNK_RAYS,
     with_stats: bool = False,
+    differentiable: bool = False,
 ):
     """Trace one sample for `pixel_idx` pixels, chunked over the ray batch.
 
     Returns radiance [R,3] (and traced-ray count if with_stats). The RNG is
     keyed by global pixel id, so chunking does not change any sample.
+    `differentiable=True` selects the fixed-trip-count bounce loop that
+    reverse-mode AD requires (see trace_paths).
     """
     from mcpt_tpu.render.camera import generate_rays
     from mcpt_tpu.utils.rng import per_ray_keys, ray_uniforms
@@ -392,7 +427,13 @@ def trace_image(
         jitter = ray_uniforms(ray_keys, 0, 2)
         org, dirn = generate_rays(cam, jitter, pidx_chunk)
         out = trace_paths(
-            scene, org, dirn, ray_keys, max_bounces=max_bounces, with_stats=with_stats
+            scene,
+            org,
+            dirn,
+            ray_keys,
+            max_bounces=max_bounces,
+            with_stats=with_stats,
+            differentiable=differentiable,
         )
         if with_stats:
             rad, nr = out
