@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--height", type=int, default=1024)
     ap.add_argument("--spp", type=int, default=64)
     ap.add_argument("--bounces", type=int, default=24)
-    ap.add_argument("--spp-per-pass", type=int, default=4)
+    ap.add_argument("--spp-per-pass", type=int, default=64)
     ap.add_argument("--save", default=None, help="optionally save the PNG")
     args = ap.parse_args()
 

@@ -74,29 +74,17 @@ def render_pass_sharded(
         row0 = ti.astype(jnp.int32) * rows
         pixel_idx = row0 * W + jnp.arange(rows * W, dtype=jnp.int32)
 
-        def one_sample(carry, s):
-            acc, nan_c, ray_c = carry
-            g = start_idx + si.astype(jnp.int32) * local_spp + s
-            ks = jax.random.fold_in(key, g)
-            from mcpt_tpu.render.integrator import trace_image
+        from mcpt_tpu.render.integrator import trace_image_wavefront
 
-            radiance, nrays = trace_image(
-                scene, cam, ks, pixel_idx, max_bounces, with_stats=True
-            )
-            nan_mask = jnp.isnan(radiance)
-            radiance = jnp.where(nan_mask, 0.0, radiance)
-            acc = acc + radiance.reshape(rows, W, 3)
-            return (
-                acc,
-                nan_c + jnp.sum(nan_mask).astype(jnp.int32),
-                ray_c + nrays.astype(jnp.float32),
-            ), None
-
-        (local_acc, local_nan, local_rays), _ = jax.lax.scan(
-            one_sample,
-            (jnp.zeros((rows, W, 3)), jnp.zeros((), jnp.int32), jnp.zeros(())),
-            jnp.arange(local_spp, dtype=jnp.int32),
+        # this device renders samples [start + si*local_spp, +local_spp) of
+        # its pixel rows; the counter-based per-(pixel, sample) RNG makes the
+        # result independent of this decomposition
+        local_start = start_idx + si.astype(jnp.int32) * local_spp
+        radiance, local_rays, local_nan = trace_image_wavefront(
+            scene, cam, key, pixel_idx, local_start, local_spp, max_bounces
         )
+        local_acc = radiance.reshape(rows, W, 3)
+        local_rays = local_rays.astype(jnp.float32)
         # sum sample shards over ICI; every 'spp' peer then holds the total
         local_acc = jax.lax.psum(local_acc, "spp")
         total_nan = jax.lax.psum(jax.lax.psum(local_nan, "spp"), "tiles")

@@ -389,10 +389,311 @@ def trace_paths(
     return L
 
 
-# Rays per wavefront chunk. Bounds the [chunk, T] intersection working set to
-# VMEM-friendly sizes; one 1024^2 pass streams 16 chunks through the same
-# program instead of materializing ~400 MB [R,T,3] intermediates in HBM.
-DEFAULT_CHUNK_RAYS = 65536
+# Rays (lanes) per wavefront chunk. Bounds the [chunk, T] intersection
+# working set to VMEM-friendly sizes; a 1024^2 pass streams chunks through
+# the same program instead of materializing huge [R,T] waves in HBM.
+# Swept on v5e (cornell 1024^2x64spp): 8k-32k all ~178 Mrays/s, 64k 170,
+# 256k 91 — smaller chunks keep the while_loop state resident.
+DEFAULT_CHUNK_RAYS = 32768
+
+
+# ---------------------------------------------------------------------------
+# Wavefront-regeneration integrator (the fast primal path).
+#
+# trace_paths keeps every lane bound to one SAMPLE: once a path dies the lane
+# idles until the whole chunk finishes, and cornell-class scenes average only
+# ~1.6 live bounces per 12+ executed (per-bounce occupancy collapses to <1%
+# after bounce 6). Here a lane is bound to one PIXEL and renders all `spp`
+# samples of that pixel back to back: when its path dies it immediately
+# starts the pixel's next sample in place (classic persistent-threads
+# wavefront, re-derived for XLA: one closest_hit + one any_hit per loop
+# iteration over a full-width lane pool). Radiance accumulates into a
+# per-lane sum, so no scatter is ever needed — lane i IS pixel i's
+# accumulator. Estimator semantics are identical to trace_paths /
+# the reference's iterative integrator (src/Render.cpp:111-175), including
+# the ordering quirks:
+#   * a ray sampled at vertex b gets its MIS emission added even if RR then
+#     kills the path (reference adds look-ahead emission BEFORE the RR test,
+#     Render.cpp:146-170) -> lanes carry a `last_leg` flag and die only
+#     after the final trace's emission is added;
+#   * the RR survival boost 1/q applies from the NEXT vertex on, not to the
+#     already-sampled ray's emission (Render.cpp:168) -> the boost is
+#     carried in `rr_boost` and folded into beta after the emission add.
+# RNG comes from utils.rng.sample_uniforms: each uniform is a pure function
+# of (seed, pixel, global sample id, bounce, slot), so results are
+# deterministic and invariant to chunking/sharding, like trace_paths.
+# ---------------------------------------------------------------------------
+
+
+def trace_wavefront(
+    scene: Scene,
+    cam,
+    key,
+    pixel_idx: jnp.ndarray,
+    start_idx,
+    spp: int,
+    max_bounces: int,
+    lane_valid: jnp.ndarray = None,
+):
+    """Sum of `spp` samples' radiance for each pixel in `pixel_idx`.
+
+    Returns (L_sum [R,3], traced_rays i32[], nan_scrubbed i32[]). Sample s
+    of lane i is globally identified as (pixel_idx[i], start_idx + s); NaNs
+    are scrubbed per sample at flush, matching the reference's per-sample
+    set_Pixel scrub (src/Scene.cpp:15-18). `lane_valid` masks off padding
+    lanes entirely (they render nothing and count nothing).
+    """
+    from mcpt_tpu.render.camera import generate_rays
+    from mcpt_tpu.utils.rng import MAX_TAGS, sample_uniforms
+
+    assert max_bounces + 1 < MAX_TAGS, f"max_bounces {max_bounces} >= {MAX_TAGS - 1}"
+    R = pixel_idx.shape[0]
+    t_min = RAY_EPS_REL * scene.scale
+    n_lights = scene.num_lights
+    tri_table = pack_tri_table(scene)
+    light_table = pack_light_table(scene) if n_lights > 0 else None
+    pix_u32 = pixel_idx.astype(jnp.uint32)
+    start_u32 = jnp.asarray(start_idx, jnp.uint32)
+
+    zero3 = jnp.zeros((R, 3))
+    s_init = (
+        jnp.zeros((R,), jnp.int32)
+        if lane_valid is None
+        else jnp.where(lane_valid, 0, spp)
+    )
+    st0 = {
+        "s": s_init,  # next local sample to start
+        "sid": jnp.zeros((R,), jnp.uint32),  # current path's global sample id
+        "b": jnp.zeros((R,), jnp.int32),  # current vertex index
+        "o": zero3,
+        "d": jnp.ones((R, 3)),
+        "prev_pdf": jnp.zeros((R,)),
+        "prev_mirror": jnp.zeros((R,), bool),
+        "rr_boost": jnp.ones((R,)),
+        "last_leg": jnp.zeros((R,), bool),
+        "L_path": zero3,
+        "L_sum": zero3,
+        "beta": jnp.ones((R, 3)),
+        "alive": jnp.zeros((R,), bool),
+        "nrays": jnp.zeros((), jnp.int32),
+        "nan_ct": jnp.zeros((), jnp.int32),
+    }
+
+    def cond(st):
+        return jnp.any(st["alive"] | (st["s"] < spp))
+
+    def body(st):
+        s, sid, b = st["s"], st["sid"], st["b"]
+        o, d = st["o"], st["d"]
+        prev_pdf, prev_mirror = st["prev_pdf"], st["prev_mirror"]
+        rr_boost, last_leg = st["rr_boost"], st["last_leg"]
+        L_path, L_sum, beta = st["L_path"], st["L_sum"], st["beta"]
+        alive = st["alive"]
+        nrays, nan_ct = st["nrays"], st["nan_ct"]
+
+        # ---- regenerate: dead lanes start their pixel's next sample
+        start_new = (~alive) & (s < spp)
+        sid_new = start_u32 + s.astype(jnp.uint32)
+        jit2 = sample_uniforms(key, pix_u32, sid_new, 0, 2)
+        o_new, d_new = generate_rays(cam, jit2, pixel_idx)
+        sn = start_new[:, None]
+        o = jnp.where(sn, o_new, o)
+        d = jnp.where(sn, d_new, d)
+        sid = jnp.where(start_new, sid_new, sid)
+        b = jnp.where(start_new, 0, b)
+        beta = jnp.where(sn, 1.0, beta)
+        L_path = jnp.where(sn, 0.0, L_path)
+        prev_pdf = jnp.where(start_new, 0.0, prev_pdf)
+        prev_mirror = jnp.where(start_new, False, prev_mirror)
+        rr_boost = jnp.where(start_new, 1.0, rr_boost)
+        last_leg = jnp.where(start_new, False, last_leg)
+        s = jnp.where(start_new, s + 1, s)
+        alive = alive | start_new
+
+        # ---- trace every live lane's pending ray (camera or bounce)
+        hit = closest_hit(scene, o, d, t_min=t_min)
+        h = expand_hit(tri_table, hit, o, d)
+        valid = alive & h.valid
+        nrays = nrays + jnp.sum(alive.astype(jnp.int32))
+
+        # ---- emission at the reached vertex
+        emis_norm = jnp.sqrt(jnp.sum(h.radiance * h.radiance, axis=-1))
+        b0 = b == 0
+        # bounce-0 direct add (Render.cpp:121-122)
+        L_path = L_path + jnp.where(
+            (valid & b0 & (emis_norm > EMIT_DIRECT_THRESH))[:, None], h.radiance, 0.0
+        )
+        # look-ahead MIS emission (Render.cpp:146-162): prev vertex is o
+        dl = o - h.point
+        dist2l = jnp.sum(dl * dl, axis=-1)
+        cos_nl = dot(normalize(dl, eps=1e-30), h.normal)
+        light_pdf = jnp.where(
+            cos_nl != 0.0,
+            dist2l
+            / jnp.where(cos_nl != 0.0, cos_nl, 1.0)
+            / jnp.maximum(float(max(n_lights, 1)), 1.0)
+            / jnp.maximum(h.area, 1e-30),
+            0.0,
+        )
+        w_hit = power_heuristic(prev_pdf, light_pdf)
+        hit_light = valid & ~b0 & (emis_norm > 0.0) & h.front
+        emit_contrib = jnp.where(
+            prev_mirror[:, None], beta * h.radiance, beta * h.radiance * w_hit[:, None]
+        )
+        L_path = L_path + jnp.where(hit_light[:, None], emit_contrib, 0.0)
+
+        # RR survival boost applies from THIS vertex on (Render.cpp:168)
+        beta = beta * rr_boost[:, None]
+        rr_boost = jnp.ones((R,))
+
+        # ---- vertex shading: lanes continuing past this vertex
+        at_vertex = valid & ~last_leg
+        u = sample_uniforms(key, pix_u32, sid, (b + 1).astype(jnp.uint32), 7)
+        kd_tex = apply_texture(scene, h)
+        lobes = build_lobes(kd_tex, h.ks, h.ns)
+        onb = make_onb(h.normal)
+        wo_local = to_local(onb, -d)
+
+        # NEE (Render.cpp:124-130)
+        if n_lights > 0:
+            lpoint, lnrm, lrad, larea = sample_light_point(
+                light_table, n_lights, u[:, 0], u[:, 1], u[:, 2]
+            )
+            dnee = lpoint - h.point
+            dist2 = jnp.sum(dnee * dnee, axis=-1)
+            dist = jnp.sqrt(dist2)
+            wl = dnee / jnp.maximum(dist, 1e-30)[:, None]
+            cos_l = dot(-wl, lnrm)
+            pdf_l = jnp.where(
+                cos_l != 0.0,
+                dist2 / jnp.where(cos_l != 0.0, cos_l, 1.0) / jnp.maximum(larea, 1e-30),
+                0.0,
+            )
+            pdf_l = jnp.where(jnp.isfinite(pdf_l), pdf_l, 0.0)
+            occluded = any_hit(
+                scene, h.point, wl, t_min=t_min, t_max=dist * (1.0 - 1e-3)
+            )
+            wl_local = to_local(onb, wl)
+            bp = bsdf_pdf(lobes, wo_local, wl_local)
+            w_mis = power_heuristic(pdf_l / n_lights, bp)
+            fx = bsdf_fx(lobes, wo_local, wl_local)
+            cos_s = jnp.abs(dot(h.normal, wl))
+            pdf_ok = jnp.abs(pdf_l) > 1e-20
+            contrib = (
+                w_mis[:, None]
+                * beta
+                * lrad
+                * fx
+                * (cos_s / jnp.where(pdf_ok, pdf_l, 1.0))[:, None]
+                * n_lights
+            )
+            nee_ok = at_vertex & pdf_ok & ~occluded
+            L_path = L_path + jnp.where(nee_ok[:, None], contrib, 0.0)
+            nrays = nrays + jnp.sum(at_vertex.astype(jnp.int32))
+
+        # BSDF sampling (Render.cpp:133-140)
+        wi_local, f, pdf, is_mirror = bsdf_sample(
+            lobes, wo_local, u[:, 3], u[:, 4], u[:, 5]
+        )
+        bsdf_ok = jnp.abs(pdf) > 1e-24
+        wi_world = to_world(onb, wi_local)
+        cos_s = jnp.abs(dot(h.normal, wi_world))
+        beta_new = beta * f * (cos_s / jnp.where(bsdf_ok, pdf, 1.0))[:, None]
+        cont = at_vertex & bsdf_ok
+        beta = jnp.where(cont[:, None], beta_new, beta)
+
+        # RR (Render.cpp:164-170): the sampled ray still traces + adds its
+        # emission next iteration; a kill only makes that leg the last one
+        q = jnp.minimum(jnp.max(beta, axis=-1), RR_CLAMP)
+        do_rr = (b > RR_START_BOUNCE) & cont
+        killed = do_rr & (u[:, 6] > q)
+        survived = do_rr & ~killed
+        rr_boost = jnp.where(survived, 1.0 / jnp.maximum(q, 1e-30), 1.0)
+        last_leg = killed | (b >= max_bounces - 1)
+
+        # advance path state
+        o = jnp.where(cont[:, None], h.point, o)
+        d = jnp.where(cont[:, None], wi_world, d)
+        prev_pdf = jnp.where(cont, pdf, prev_pdf)
+        prev_mirror = jnp.where(cont, is_mirror, prev_mirror)
+        b = jnp.where(cont, b + 1, b)
+
+        # lanes that missed, ran out of pdf, or just traced their last leg die
+        alive_next = cont
+        flushed = alive & ~alive_next
+        nan_mask = jnp.isnan(L_path) & flushed[:, None]
+        nan_ct = nan_ct + jnp.sum(nan_mask).astype(jnp.int32)
+        L_clean = jnp.where(nan_mask, 0.0, L_path)
+        L_sum = L_sum + jnp.where(flushed[:, None], L_clean, 0.0)
+        alive = alive_next
+
+        return {
+            "s": s,
+            "sid": sid,
+            "b": b,
+            "o": o,
+            "d": d,
+            "prev_pdf": prev_pdf,
+            "prev_mirror": prev_mirror,
+            "rr_boost": rr_boost,
+            "last_leg": last_leg,
+            "L_path": L_path,
+            "L_sum": L_sum,
+            "beta": beta,
+            "alive": alive,
+            "nrays": nrays,
+            "nan_ct": nan_ct,
+        }
+
+    st = jax.lax.while_loop(cond, body, st0)
+    return st["L_sum"], st["nrays"], st["nan_ct"]
+
+
+def trace_image_wavefront(
+    scene: Scene,
+    cam,
+    key,
+    pixel_idx: jnp.ndarray,
+    start_idx,
+    spp: int,
+    max_bounces: int,
+    chunk_rays: int = DEFAULT_CHUNK_RAYS,
+):
+    """trace_wavefront chunked over the pixel batch (static shapes).
+
+    Returns (L_sum [R,3], traced_rays, nan_scrubbed). Chunking cannot change
+    any sample: the RNG is keyed by (pixel, global sample id).
+    """
+    R = pixel_idx.shape[0]
+    chunk = min(chunk_rays, R)
+    n_chunks = -(-R // chunk)
+    Rp = n_chunks * chunk
+    pidx = jnp.concatenate([pixel_idx, jnp.zeros((Rp - R,), jnp.int32)])
+    lane_valid = jnp.arange(Rp) < R
+
+    def one_chunk(carry, xs):
+        pidx_chunk, valid_chunk = xs
+        nrays, nan_ct = carry
+        L, nr, nc = trace_wavefront(
+            scene, cam, key, pidx_chunk, start_idx, spp, max_bounces,
+            lane_valid=None if Rp == R else valid_chunk,
+        )
+        return (nrays + nr, nan_ct + nc), L
+
+    if n_chunks == 1:
+        (nrays, nan_ct), L = one_chunk(
+            (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+            (pidx, lane_valid),
+        )
+        L = L[:R]
+    else:
+        (nrays, nan_ct), Ls = jax.lax.scan(
+            one_chunk,
+            (jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)),
+            (pidx.reshape(n_chunks, chunk), lane_valid.reshape(n_chunks, chunk)),
+        )
+        L = Ls.reshape(Rp, 3)[:R]
+    return L, nrays, nan_ct
 
 
 def trace_image(

@@ -42,29 +42,31 @@ def render_pass_impl(
     """Add `spp_per_pass` samples/pixel to the film. One XLA program.
 
     Sample s of the pass is globally identified as start_idx + s: the RNG
-    stream of a (pixel, sample) pair is independent of pass batching.
+    stream of a (pixel, sample) pair is independent of pass batching. Uses
+    the wavefront-regeneration integrator: each lane renders all
+    spp_per_pass samples of its pixel back to back, so late-bounce lane
+    occupancy stays high (integrator.trace_wavefront).
     """
     cam = scene.camera
     W, H = cam.width, cam.height
     R = W * H
 
-    from mcpt_tpu.render.integrator import trace_image
+    from mcpt_tpu.render.film import Film
+    from mcpt_tpu.render.integrator import trace_image_wavefront
 
     pixel_idx = jnp.arange(R, dtype=jnp.int32)
-
-    def one_sample(film, s):
-        ks = jax.random.fold_in(key, start_idx + s)
-        radiance, nrays = trace_image(
-            scene, cam, ks, pixel_idx, max_bounces, with_stats=True
-        )
-        # pixel i = y*W + x (Render.cpp:63); film rows are y.
-        img = radiance.reshape(H, W, 3)
-        return accumulate(
-            film, img, spp_added=1.0, rays_added=nrays.astype(jnp.float32)
-        ), None
-
-    film, _ = jax.lax.scan(one_sample, film, jnp.arange(spp_per_pass))
-    return film
+    radiance, nrays, nan_ct = trace_image_wavefront(
+        scene, cam, key, pixel_idx, start_idx, spp_per_pass, max_bounces
+    )
+    # pixel i = y*W + x (Render.cpp:63); film rows are y. NaNs were already
+    # scrubbed per sample at path flush (counted in nan_ct).
+    img = radiance.reshape(H, W, 3)
+    return Film(
+        accum=film.accum + img,
+        spp=film.spp + spp_per_pass,
+        nan_count=film.nan_count + nan_ct,
+        rays=film.rays + nrays.astype(jnp.float32),
+    )
 
 
 render_pass = partial(jax.jit, static_argnames=("max_bounces", "spp_per_pass"),

@@ -27,6 +27,7 @@ import jax.extend as jex
 import jax.numpy as jnp
 
 MAX_SLOTS = 8  # uniforms per (ray, tag) stream
+MAX_TAGS = 64  # streams per (ray, sample): tag 0 = camera jitter, b+1 = bounce b
 
 
 @dataclass(frozen=True)
@@ -70,4 +71,37 @@ def ray_uniforms(ctx: RayRng, tag, n: int) -> jnp.ndarray:
     w1 = out[R * npairs :].reshape(R, npairs)
     words = jnp.concatenate([w0, w1], axis=1)[:, :n]
     # 24-bit mantissa -> [0, 1)
+    return (words >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
+
+
+def sample_uniforms(key, pixel_id: jnp.ndarray, sid, tag, n: int) -> jnp.ndarray:
+    """[R, n] uniforms keyed by (seed, pixel, GLOBAL sample id, tag).
+
+    The wavefront-regeneration integrator's stream: unlike ray_uniforms
+    (sample id folded into the cipher key on the host), the sample id lives
+    in the counter, so every lane can sit at a different (sample, bounce)
+    without leaving the jitted program:
+
+        word = threefry2x32(key, (pixel, (sid*MAX_TAGS + tag)*MAX_SLOTS + slot))
+
+    `sid` and `tag` may be scalars or [R] vectors. Streams are unique while
+    sid*MAX_TAGS + tag < 2^29 (sid < ~8.4M samples at 64 tags) — far beyond
+    any render. Same determinism/batch-invariance guarantees as ray_uniforms.
+    """
+    assert n <= MAX_SLOTS
+    kd = _raw_key(key)
+    pixel_id = pixel_id.astype(jnp.uint32)
+    R = pixel_id.shape[0]
+    base = (
+        jnp.asarray(sid, jnp.uint32) * jnp.uint32(MAX_TAGS) + jnp.asarray(tag, jnp.uint32)
+    ) * jnp.uint32(MAX_SLOTS)
+    npairs = (n + 1) // 2
+    slot = jnp.arange(npairs, dtype=jnp.uint32)
+    lo = jnp.broadcast_to(base.reshape(-1, 1), (R, 1)) + slot[None, :]
+    hi = jnp.broadcast_to(pixel_id[:, None], (R, npairs))
+    counts = jnp.concatenate([hi.ravel(), lo.ravel()])
+    out = jex.random.threefry_2x32(kd, counts)
+    w0 = out[: R * npairs].reshape(R, npairs)
+    w1 = out[R * npairs :].reshape(R, npairs)
+    words = jnp.concatenate([w0, w1], axis=1)[:, :n]
     return (words >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(1.0 / (1 << 24))
