@@ -1,0 +1,228 @@
+"""Command-line interface: the reference's hardcoded scene choice + compile
+-time constants (src/main.cpp:7-12, SURVEY §5 "Config / flag system: none")
+replaced by a real CLI.
+
+Subcommands
+-----------
+  render   progressive path-traced render -> PNG (+ optional checkpoints)
+  inverse  inverse rendering: recover kd/radiance from a target image (Adam)
+  info     print scene statistics (the reference prints these at
+           src/main.cpp:14)
+
+Examples
+--------
+  python -m mcpt_tpu render scenes/cornell-box.obj --spp 64 --out out.png
+  python -m mcpt_tpu render scenes/veach-mis.obj --spp 128 --mesh 4x2
+  python -m mcpt_tpu render scenes/cornell-box.obj --resume ckpt.npz
+  python -m mcpt_tpu inverse scenes/cornell-box.obj --target target.png
+  python -m mcpt_tpu info scenes/bathroom-stress.obj
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def _add_render_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("scene", help="path to .obj (with .mtl/.xml siblings)")
+    p.add_argument("--width", type=int, default=None, help="override camera width")
+    p.add_argument("--height", type=int, default=None, help="override camera height")
+    p.add_argument("--spp", type=int, default=64, help="total samples per pixel")
+    p.add_argument("--spp-per-pass", type=int, default=None,
+                   help="samples per device step (default: min(spp, 16))")
+    p.add_argument("--bounces", type=int, default=24,
+                   help="max path length (RR starts at bounce 3, Render.cpp:164)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-bvh", action="store_true",
+                   help="force brute-force intersection (small scenes)")
+
+
+def _mesh_arg(spec: str):
+    """'4x2' -> ('tiles', 'spp') mesh over the available devices."""
+    import jax
+
+    from mcpt_tpu.parallel.mesh import make_mesh
+
+    nt, ns = (int(x) for x in spec.lower().split("x"))
+    n = nt * ns
+    devs = jax.devices()
+    if len(devs) < n:
+        devs = jax.devices("cpu")
+    return make_mesh(nt, ns, devices=devs[:n])
+
+
+def cmd_render(args) -> int:
+    import jax
+
+    from mcpt_tpu.io.obj import load_scene
+    from mcpt_tpu.render.film import checkpoint_load, checkpoint_save, save
+
+    scene = load_scene(args.scene, with_bvh=not args.no_bvh)
+    spp_per_pass = args.spp_per_pass or min(args.spp, 16)
+
+    if args.mesh:
+        from mcpt_tpu.parallel.shard import ShardedRenderer
+
+        r = ShardedRenderer(
+            scene, mesh=_mesh_arg(args.mesh), max_bounces=args.bounces,
+            spp_per_pass=spp_per_pass, seed=args.seed,
+            width=args.width, height=args.height,
+        )
+    else:
+        from mcpt_tpu.render.renderer import RenderConfig, Renderer
+
+        r = Renderer(scene, RenderConfig(
+            max_bounces=args.bounces, seed=args.seed,
+            spp_per_pass=spp_per_pass, width=args.width, height=args.height,
+        ))
+
+    if args.resume:
+        film, seed, sample_idx = checkpoint_load(args.resume)
+        assert seed == args.seed, (
+            f"checkpoint seed {seed} != --seed {args.seed}; the RNG stream "
+            "is keyed on the seed, resuming would mix streams")
+        r.film, r.sample_idx = film, sample_idx
+        print(f"[render] resumed at {sample_idx} spp from {args.resume}")
+
+    if args.profile:
+        jax.profiler.start_trace(args.profile)
+
+    name = os.path.splitext(os.path.basename(args.scene))[0]
+    t0 = time.perf_counter()
+    while r.sample_idx < args.spp:
+        r.step()
+        spp = r.sample_idx
+        dt = r.pass_times[-1]
+        print(f"[render] {spp}/{args.spp} spp  {dt * 1e3:.1f} ms/pass", flush=True)
+        if args.checkpoint_every and spp % args.checkpoint_every == 0:
+            ck = args.checkpoint or f"{name}.ckpt.npz"
+            checkpoint_save(r.film, ck, args.seed, spp)
+            print(f"[render] checkpoint -> {ck}")
+    wall = time.perf_counter() - t0
+
+    if args.profile:
+        jax.profiler.stop_trace()
+        print(f"[render] profiler trace -> {args.profile}")
+
+    out = args.out or f"{name}.obj{r.sample_idx}.png"  # reference naming (Scene.cpp:37)
+    save(r.film, out)
+    rays = float(r.film.rays)
+    stats = {
+        "scene": args.scene, "spp": r.sample_idx, "wall_s": round(wall, 3),
+        "traced_rays": rays, "mrays_per_s": round(rays / wall / 1e6, 2),
+        "nan_scrubbed": int(r.film.nan_count), "out": out,
+    }
+    print(json.dumps(stats))
+    return 0
+
+
+def cmd_inverse(args) -> int:
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcpt_tpu.diff.grad import extract_params
+    from mcpt_tpu.diff.inverse import run_inverse
+    from mcpt_tpu.io.obj import load_scene
+
+    scene = load_scene(args.scene, with_bvh=not args.no_bvh)
+    if args.target.endswith(".npz"):
+        target = jnp.asarray(np.load(args.target)["radiance"])
+    else:
+        from mcpt_tpu.io.image import load_png
+
+        # invert the output tonemap (gamma 1/2, Scene.cpp:26-29); PNGs are
+        # stored bottom-up (vertical flip at save) so flip back
+        target = jnp.asarray(load_png(args.target)[::-1] ** 2.0)
+
+    if args.width or args.height:
+        import dataclasses as dc
+
+        cam = dc.replace(scene.camera, width=args.width or scene.camera.width,
+                         height=args.height or scene.camera.height)
+        scene = dc.replace(scene, camera=cam)
+    H, W = scene.camera.height, scene.camera.width
+    assert target.shape == (H, W, 3), f"target {target.shape} != image {(H, W, 3)}"
+
+    init = extract_params(scene)
+    # start from a neutral guess: mid-gray albedo, dim lights
+    guess = type(init)(
+        kd=jnp.full_like(init.kd, 0.5),
+        ks=init.ks,
+        radiance=jnp.where(init.radiance > 0, 1.0, 0.0),
+    )
+
+    def progress(i, loss, params):
+        print(f"[inverse] step {i}  loss {loss:.3e}", flush=True)
+
+    params, losses = run_inverse(
+        scene, target, guess, steps=args.steps, spp=args.spp,
+        max_bounces=args.bounces, learning_rate=args.lr, seed=args.seed,
+        progress=progress,
+    )
+    out = args.out or "inverse_params.npz"
+    np.savez(out, kd=np.asarray(params.kd), ks=np.asarray(params.ks),
+             radiance=np.asarray(params.radiance), losses=np.asarray(losses))
+    print(json.dumps({"final_loss": losses[-1], "steps": len(losses), "out": out}))
+    return 0
+
+
+def cmd_info(args) -> int:
+    from mcpt_tpu.io.obj import load_scene
+
+    scene = load_scene(args.scene, with_bvh=False)
+    cam = scene.camera
+    info = {
+        "scene": args.scene,
+        "triangles": scene.num_tris,
+        "materials": int(scene.mats.kd.shape[0]),
+        "lights": int(scene.light_tris.shape[0]),
+        "textures": int(scene.atlas.data.shape[0]) if scene.atlas is not None else 0,
+        "camera": {
+            "width": cam.width, "height": cam.height, "fovy": float(cam.fovy),
+            "eye": [float(x) for x in cam.eye],
+            "lookat": [float(x) for x in cam.lookat],
+        },
+    }
+    print(json.dumps(info, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="mcpt_tpu", description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("render", help="progressive render -> PNG")
+    _add_render_args(pr)
+    pr.add_argument("--out", default=None, help="output PNG path")
+    pr.add_argument("--mesh", default=None,
+                    help="TILESxSPP device mesh, e.g. 4x2 (default: single device)")
+    pr.add_argument("--checkpoint", default=None, help="checkpoint path (.npz)")
+    pr.add_argument("--checkpoint-every", type=int, default=0,
+                    help="write a resumable checkpoint every N spp")
+    pr.add_argument("--resume", default=None, help="resume from checkpoint (.npz)")
+    pr.add_argument("--profile", default=None,
+                    help="write a jax.profiler trace to this directory")
+    pr.set_defaults(fn=cmd_render)
+
+    pi = sub.add_parser("inverse", help="inverse rendering (recover kd/emission)")
+    _add_render_args(pi)
+    pi.add_argument("--target", required=True, help="target image (.png or .npz)")
+    pi.add_argument("--steps", type=int, default=500)
+    pi.add_argument("--lr", type=float, default=2e-2)
+    pi.add_argument("--out", default=None, help="output params .npz")
+    pi.set_defaults(fn=cmd_inverse, spp=4, bounces=6)
+
+    pn = sub.add_parser("info", help="print scene statistics")
+    pn.add_argument("scene")
+    pn.set_defaults(fn=cmd_info)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
