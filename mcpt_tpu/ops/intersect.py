@@ -222,10 +222,179 @@ def any_hit_bruteforce(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Woop-transform intersection: the same hit predicate as Moller-Trumbore,
+# reformulated so the heavy inner product work runs on the MXU.
+#
+# Per triangle, precompute the affine map W x + p that carries the triangle
+# to the unit triangle (v0 -> 0, e1 -> x, e2 -> y, n = e1 x e2 -> z). For a
+# ray (o, d): o' = W o + p and d' = W d give
+#     t = -o'_z / d'_z,  u = o'_x + t d'_x,  v = o'_y + t d'_y
+# with the SAME accept set as Moller-Trumbore (u, v, t are algebraically
+# identical; only f32 rounding differs). The reference's determinant test
+# |e1.(d x e2)| >= eps (src/Triangle.cpp:54,85) maps exactly to
+# |d'_z| >= eps / |n|^2 because det_MT = -d.n and d'_z = d.n / |n|^2.
+#
+# Both o' and d' for ALL triangles come from ONE [R,8] @ [8,6C] matmul, so
+# ~75% of the intersection FLOPs move from the VPU (8x128) to the MXU
+# (128x128 systolic); the per-(ray,tri) epilogue is ~15 VPU ops vs ~56 for
+# direct Moller-Trumbore. Degenerate triangles (|n| = 0) get an infinite
+# threshold and can never accept.
+# ---------------------------------------------------------------------------
+
+
+def _woop_tables(v0, e1, e2, det_eps):
+    """Per-triangle [T,6,8] matmul block + [T] |d'_z| threshold."""
+    n = cross(e1, e2)
+    n2 = jnp.sum(n * n, axis=-1)  # det([e1 e2 n]) = |n|^2
+    inv = jnp.where(n2 > 0, 1.0 / jnp.where(n2 > 0, n2, 1.0), 0.0)
+    r1 = cross(e2, n) * inv[:, None]  # rows of W = [e1 e2 n]^-1
+    r2 = cross(n, e1) * inv[:, None]
+    r3 = n * inv[:, None]
+    W = jnp.stack([r1, r2, r3], axis=1)  # [T,3,3]
+    p = -jnp.einsum("tkj,tj->tk", W, v0)  # [T,3]
+    T = v0.shape[0]
+    blk = jnp.zeros((T, 6, 8), W.dtype)
+    blk = blk.at[:, 0:3, 0:3].set(W)  # o' rows: W
+    blk = blk.at[:, 0:3, 3].set(p)  # ... + p (homogeneous 1)
+    blk = blk.at[:, 3:6, 4:7].set(W)  # d' rows: W
+    eps = jnp.where(n2 > 0, det_eps * inv, F32_MAX)
+    return blk, eps
+
+
+def _woop_project(blk, org, dirn):
+    """[R,T,6] = (o'_x o'_y o'_z d'_x d'_y d'_z) for all (ray, tri) pairs."""
+    R = org.shape[0]
+    T = blk.shape[0]
+    A = jnp.concatenate(
+        [org, jnp.ones((R, 1), org.dtype), dirn, jnp.zeros((R, 1), org.dtype)],
+        axis=1,
+    )  # [R,8]
+    B = blk.reshape(T * 6, 8).T  # [8, 6T]
+    P = jnp.dot(A, B, preferred_element_type=jnp.float32)  # MXU
+    return P.reshape(R, T, 6)
+
+
+def _woop_tuv(P, eps):
+    """t,u,v [R,T] + non-parallel mask from the projected coordinates."""
+    dz = P[..., 5]
+    ok = jnp.abs(dz) >= eps[None, :]
+    inv_dz = jnp.where(ok, 1.0 / jnp.where(ok, dz, 1.0), 0.0)
+    t = -P[..., 2] * inv_dz
+    u = P[..., 0] + t * P[..., 3]
+    v = P[..., 1] + t * P[..., 4]
+    return t, u, v, ok
+
+
+def _bounds(t_min, t_max):
+    tm = jnp.asarray(t_min)
+    tM = jnp.asarray(t_max)
+    if tM.ndim == 1:
+        tM = tM[:, None]
+    if tm.ndim == 1:
+        tm = tm[:, None]
+    return tm, tM
+
+
+def _closest_woop_block(blk, eps, tri_base, org, dirn, t_min, t_max, tri_valid=None):
+    t, u, v, ok = _woop_tuv(_woop_project(blk, org, dirn), eps)
+    tm, tM = _bounds(t_min, t_max)
+    accept = ok & (t >= tm) & (t < tM) & (u >= 0) & (v >= 0) & (1.0 - u - v >= 0)
+    if tri_valid is not None:
+        accept = accept & tri_valid[None, :]
+    t_cand = jnp.where(accept, t, F32_MAX)
+    C = t_cand.shape[1]
+    base = tri_base + jnp.arange(C, dtype=jnp.int32)[None, :]
+    best_t, idx = _min_and_first_index(t_cand, base, axis=1)
+    return best_t, jnp.where(best_t < F32_MAX, idx, -1)
+
+
+def _any_woop_block(blk, eps, org, dirn, t_min, t_max, tri_valid=None):
+    t, u, v, ok = _woop_tuv(_woop_project(blk, org, dirn), eps)
+    tm, tM = _bounds(t_min, t_max)
+    accept = (
+        ok
+        & (u >= 0) & (u <= 1.0)
+        & (v >= 0) & (u + v <= 1.0)
+        & (t >= tm) & (t <= tM)
+    )
+    if tri_valid is not None:
+        accept = accept & tri_valid[None, :]
+    return jnp.any(accept, axis=1)
+
+
+def closest_hit_woop(
+    scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX, chunk: int = DEFAULT_CHUNK
+) -> Hit:
+    """MXU-matmul closest hit (Woop transform), tiled over triangle chunks."""
+    geom = scene.geom
+    T = geom.v0.shape[0]
+    if T <= chunk:
+        blk, eps = _woop_tables(geom.v0, geom.e1, geom.e2, DET_EPS_CLOSEST)
+        t, tri = _closest_woop_block(blk, eps, 0, org, dirn, t_min, t_max)
+        return Hit(t=t, tri=tri)
+
+    v0, e1, e2, valid, Tp = _pad_tris(geom, chunk)
+    blk, eps = _woop_tables(v0, e1, e2, DET_EPS_CLOSEST)
+    n_chunks = Tp // chunk
+    blkc = blk.reshape(n_chunks, chunk, 6, 8)
+    epsc = eps.reshape(n_chunks, chunk)
+    validc = valid.reshape(n_chunks, chunk)
+    R = org.shape[0]
+    init = (jnp.full((R,), F32_MAX), jnp.full((R,), -1, jnp.int32))
+
+    def body(carry, xs):
+        bt, btri = carry
+        cblk, ceps, cvalid, base = xs
+        t, tri = _closest_woop_block(
+            cblk, ceps, base, org, dirn, t_min, t_max, tri_valid=cvalid
+        )
+        better = t < bt
+        return (jnp.where(better, t, bt), jnp.where(better, tri, btri)), None
+
+    bases = (jnp.arange(n_chunks) * chunk).astype(jnp.int32)
+    (bt, btri), _ = jax.lax.scan(body, init, (blkc, epsc, validc, bases))
+    return Hit(t=bt, tri=btri)
+
+
+def any_hit_woop(
+    scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX, chunk: int = DEFAULT_CHUNK
+) -> jnp.ndarray:
+    """MXU-matmul any-hit (shadow rays), tiled over triangle chunks."""
+    geom = scene.geom
+    T = geom.v0.shape[0]
+    if T <= chunk:
+        blk, eps = _woop_tables(geom.v0, geom.e1, geom.e2, DET_EPS_ANY)
+        return _any_woop_block(blk, eps, org, dirn, t_min, t_max)
+
+    v0, e1, e2, valid, Tp = _pad_tris(geom, chunk)
+    blk, eps = _woop_tables(v0, e1, e2, DET_EPS_ANY)
+    n_chunks = Tp // chunk
+    blkc = blk.reshape(n_chunks, chunk, 6, 8)
+    epsc = eps.reshape(n_chunks, chunk)
+    validc = valid.reshape(n_chunks, chunk)
+
+    def body(carry, xs):
+        cblk, ceps, cvalid = xs
+        hit = _any_woop_block(cblk, ceps, org, dirn, t_min, t_max, tri_valid=cvalid)
+        return carry | hit, None
+
+    init = jnp.zeros((org.shape[0],), bool)
+    out, _ = jax.lax.scan(body, init, (blkc, epsc, validc))
+    return out
+
+
 # Below this triangle count, intersect-everything beats any tree on TPU:
 # the [R, C] Moller-Trumbore wave is pure VPU work with zero divergence,
 # while pointer-chasing traversal serializes into per-ray gather loops.
 BRUTE_FORCE_MAX_TRIS = 4096
+
+
+import os as _os
+
+# Dense-path algorithm: "woop" (MXU matmul, default) or "mt" (direct
+# Moller-Trumbore on the VPU). Same accept predicate either way.
+DENSE_ALGO = _os.environ.get("MCPT_INTERSECT", "woop")
 
 
 def closest_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
@@ -234,6 +403,8 @@ def closest_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
         from mcpt_tpu.ops.traverse import closest_hit_bvh
 
         return closest_hit_bvh(scene, org, dirn, t_min, t_max)
+    if DENSE_ALGO == "woop":
+        return closest_hit_woop(scene, org, dirn, t_min, t_max)
     return closest_hit_bruteforce(scene, org, dirn, t_min, t_max)
 
 
@@ -242,4 +413,6 @@ def any_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> jnp.ndarray:
         from mcpt_tpu.ops.traverse import any_hit_bvh
 
         return any_hit_bvh(scene, org, dirn, t_min, t_max)
+    if DENSE_ALGO == "woop":
+        return any_hit_woop(scene, org, dirn, t_min, t_max)
     return any_hit_bruteforce(scene, org, dirn, t_min, t_max)

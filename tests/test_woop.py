@@ -1,0 +1,143 @@
+"""Woop-transform (MXU) intersection vs Moller-Trumbore and the f64 oracle.
+
+The two dense kernels implement the same accept predicate (ops/intersect.py);
+rounding may flip knife-edge rays, so agreement thresholds mirror
+tests/test_intersect.py.
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcpt_tpu.ops.intersect import (
+    any_hit_bruteforce,
+    any_hit_woop,
+    closest_hit_bruteforce,
+    closest_hit_woop,
+)
+from tests.test_intersect import _np_moller_trumbore, _random_tri_scene
+
+
+@pytest.mark.parametrize("T", [7, 600])
+def test_closest_woop_matches_oracle(rng, T):
+    scene, v0, e1, e2 = _random_tri_scene(rng, T)
+    R = 64
+    o = rng.uniform(-2, 2, (R, 3))
+    d = rng.normal(size=(R, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    hit = closest_hit_woop(
+        scene, jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+        t_min=1e-4, chunk=256,
+    )
+    ot, otri, _ = _np_moller_trumbore(
+        v0, e1, e2, o, d, det_eps=1e-5, t_min=1e-4, t_max=np.inf, closed_max=False
+    )
+    agree = np.asarray(hit.tri) == otri
+    assert agree.mean() > 0.95
+    sel = agree & (otri >= 0)
+    np.testing.assert_allclose(np.asarray(hit.t)[sel], ot[sel], rtol=1e-3)
+
+
+def test_closest_woop_matches_mt(rng):
+    scene, *_ = _random_tri_scene(rng, 300)
+    R = 256
+    o = rng.uniform(-2, 2, (R, 3))
+    d = rng.normal(size=(R, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+
+    hw = closest_hit_woop(scene, o, d, t_min=1e-4, chunk=128)
+    hm = closest_hit_bruteforce(scene, o, d, t_min=1e-4, chunk=128)
+    agree = np.asarray(hw.tri) == np.asarray(hm.tri)
+    assert agree.mean() > 0.98  # identical predicate, f32 rounding only
+    sel = agree & (np.asarray(hm.tri) >= 0)
+    np.testing.assert_allclose(
+        np.asarray(hw.t)[sel], np.asarray(hm.t)[sel], rtol=2e-3
+    )
+
+
+def test_any_woop_matches_oracle(rng):
+    scene, v0, e1, e2 = _random_tri_scene(rng, 40)
+    R = 128
+    o = rng.uniform(-2, 2, (R, 3))
+    d = rng.normal(size=(R, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t_max = 1.5
+    got = np.asarray(
+        any_hit_woop(
+            scene, jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32),
+            t_min=1e-4, t_max=t_max,
+        )
+    )
+    _, otri, _ = _np_moller_trumbore(
+        v0, e1, e2, o, d, det_eps=1e-6, t_min=1e-4, t_max=t_max, closed_max=True
+    )
+    assert (got == (otri >= 0)).mean() > 0.97
+
+
+def test_woop_interval_and_degenerate(rng):
+    scene, *_ = _random_tri_scene(rng, 1)
+    from mcpt_tpu.scene import Geometry
+
+    geom = Geometry(
+        v0=jnp.asarray([[-1.0, -1.0, 0.0]]),
+        e1=jnp.asarray([[2.0, 0.0, 0.0]]),
+        e2=jnp.asarray([[0.0, 2.0, 0.0]]),
+        vn=jnp.zeros((1, 3, 3)),
+        uv=jnp.zeros((1, 3, 2)),
+        mat_id=jnp.zeros((1,), jnp.int32),
+        area=jnp.asarray([2.0]),
+    )
+    sc = dataclasses.replace(scene, geom=geom)
+    o = jnp.asarray([[0.0, 0.0, -1.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    assert closest_hit_woop(sc, o, d, t_min=1e-4, t_max=2.0).tri[0] == 0
+    assert closest_hit_woop(sc, o, d, t_min=1e-4, t_max=1.0).tri[0] == -1  # open
+    assert bool(any_hit_woop(sc, o, d, t_min=1e-4, t_max=1.0)[0])  # closed
+    assert not bool(any_hit_woop(sc, o, d, t_min=1e-4, t_max=0.5)[0])
+
+    degen = Geometry(  # zero-area: Woop threshold is +inf, can never accept
+        v0=jnp.asarray([[0.0, 0.0, 0.0]]),
+        e1=jnp.asarray([[1.0, 0.0, 0.0]]),
+        e2=jnp.asarray([[2.0, 0.0, 0.0]]),
+        vn=jnp.zeros((1, 3, 3)),
+        uv=jnp.zeros((1, 3, 2)),
+        mat_id=jnp.zeros((1,), jnp.int32),
+        area=jnp.asarray([0.0]),
+    )
+    sc = dataclasses.replace(scene, geom=degen)
+    assert closest_hit_woop(sc, o, d).tri[0] == -1
+    assert not bool(any_hit_woop(sc, o, d)[0])
+
+
+def test_render_image_woop_vs_mt(cornell_scene):
+    """Full-render cross-check: the two dense kernels give statistically
+    identical images (same seed, same estimator; knife-edge flips only)."""
+    import jax
+
+    from mcpt_tpu.render.renderer import RenderConfig, Renderer
+
+    import mcpt_tpu.ops.intersect as I
+
+    def render(algo):
+        old = I.DENSE_ALGO
+        I.DENSE_ALGO = algo
+        try:
+            r = Renderer(
+                cornell_scene,
+                RenderConfig(max_bounces=4, width=64, height=64, spp_per_pass=4, seed=0),
+            )
+            r.step()
+            return np.asarray(r.film.accum) / 4.0
+        finally:
+            I.DENSE_ALGO = old
+
+    a = render("woop")
+    b = render("mt")
+    # pixel-level: nearly all pixels bitwise-close, means tight
+    close = np.isclose(a, b, rtol=1e-3, atol=1e-3).mean()
+    assert close > 0.99, f"only {close:.4f} of components close"
+    np.testing.assert_allclose(a.mean(axis=(0, 1)), b.mean(axis=(0, 1)), rtol=2e-3)
