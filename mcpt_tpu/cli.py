@@ -51,6 +51,13 @@ def _mesh_arg(spec: str):
     devs = jax.devices()
     if len(devs) < n:
         devs = jax.devices("cpu")
+    if len(devs) < n:
+        raise SystemExit(
+            f"--mesh {spec} needs {n} devices but only {len(devs)} are "
+            "visible; for a virtual CPU mesh set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={n} (and JAX_PLATFORMS="
+            "cpu) in the environment BEFORE launching python"
+        )
     return make_mesh(nt, ns, devices=devs[:n])
 
 
@@ -81,9 +88,12 @@ def cmd_render(args) -> int:
 
     if args.resume:
         film, seed, sample_idx = checkpoint_load(args.resume)
-        assert seed == args.seed, (
-            f"checkpoint seed {seed} != --seed {args.seed}; the RNG stream "
-            "is keyed on the seed, resuming would mix streams")
+        if seed != args.seed:
+            # real error, not assert: under `python -O` an assert is stripped
+            # and a mismatched resume would silently mix two RNG streams
+            raise SystemExit(
+                f"checkpoint seed {seed} != --seed {args.seed}; the RNG stream "
+                "is keyed on the seed, resuming would mix streams")
         r.film, r.sample_idx = film, sample_idx
         print(f"[render] resumed at {sample_idx} spp from {args.resume}")
 

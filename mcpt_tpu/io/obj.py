@@ -286,10 +286,13 @@ def load_scene(path: str, use_native: bool = True, with_bvh: bool = True):
             "tex_id": np.full(1, -1, np.int32),
         }
     scene = build_scene_host(
-        host.vertices, host.normals, host.uvs, host.faces, mats, atlas, host.camera
+        host.vertices, host.normals, host.uvs, host.faces, mats, atlas, host.camera,
+        to_device=False,
     )
     if with_bvh:
         from mcpt_tpu.ops.bvh import attach_bvh
 
-        scene = attach_bvh(scene)
-    return scene
+        return attach_bvh(scene)  # permutes on host, then one device_put
+    from mcpt_tpu.scene import scene_to_device
+
+    return scene_to_device(scene)

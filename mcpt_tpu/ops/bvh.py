@@ -48,8 +48,15 @@ def build_bvh_arrays(
             from mcpt_tpu.native.bvh_native import build_bvh_native
 
             return build_bvh_native(v0, e1, e2, leaf_size)
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — degrade, but loudly
+            import warnings
+
+            warnings.warn(
+                "native BVH builder unavailable, falling back to the ~15x "
+                f"slower numpy builder: {type(e).__name__}: {e}",
+                RuntimeWarning,
+                stacklevel=2,
+            )
     return _build_bvh_numpy(v0, e1, e2, leaf_size)
 
 
@@ -122,9 +129,19 @@ def _build_bvh_numpy(v0, e1, e2, leaf_size):
     return nodes, order.astype(np.int64)
 
 
-def attach_bvh(scene: Scene, leaf_size: int = DEFAULT_LEAF_SIZE, use_native: bool = True) -> Scene:
-    """Build a BVH for `scene`, reorder its triangles, attach flat arrays."""
-    import jax.numpy as jnp
+def attach_bvh(
+    scene: Scene,
+    leaf_size: int = DEFAULT_LEAF_SIZE,
+    use_native: bool = True,
+    to_device: bool = True,
+) -> Scene:
+    """Build a BVH for `scene`, reorder its triangles, attach flat arrays.
+
+    Everything (build, triangle permutation, block layout) happens in numpy;
+    with `to_device=True` the finished scene moves to the device in one
+    batched transfer (scene.scene_to_device).
+    """
+    from mcpt_tpu.scene import scene_to_device
 
     v0 = np.asarray(scene.geom.v0, np.float64)
     e1 = np.asarray(scene.geom.e1, np.float64)
@@ -132,13 +149,14 @@ def attach_bvh(scene: Scene, leaf_size: int = DEFAULT_LEAF_SIZE, use_native: boo
     nodes, perm = build_bvh_arrays(v0, e1, e2, leaf_size, use_native=use_native)
     scene = permute_scene_tris(scene, perm)
     bvh = FlatBVH(
-        lo=jnp.asarray(nodes["lo"], jnp.float32),
-        hi=jnp.asarray(nodes["hi"], jnp.float32),
-        first=jnp.asarray(nodes["first"], jnp.int32),
-        count=jnp.asarray(nodes["count"], jnp.int32),
-        skip=jnp.asarray(nodes["skip"], jnp.int32),
+        lo=np.asarray(nodes["lo"], np.float32),
+        hi=np.asarray(nodes["hi"], np.float32),
+        first=np.asarray(nodes["first"], np.int32),
+        count=np.asarray(nodes["count"], np.int32),
+        skip=np.asarray(nodes["skip"], np.int32),
     )
-    return dataclasses.replace(scene, bvh=bvh)
+    scene = dataclasses.replace(scene, bvh=bvh)
+    return scene_to_device(scene) if to_device else scene
 
 
 def validate_bvh(nodes: dict, perm: np.ndarray, tri_lo, tri_hi) -> None:

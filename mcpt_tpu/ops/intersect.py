@@ -271,7 +271,13 @@ def _woop_project(blk, org, dirn):
         axis=1,
     )  # [R,8]
     B = blk.reshape(T * 6, 8).T  # [8, 6T]
-    P = jnp.dot(A, B, preferred_element_type=jnp.float32)  # MXU
+    # HIGHEST: TPU default f32 matmul truncates operands to bf16 (~8 mantissa
+    # bits), far too coarse for the hard accept thresholds (t>=1e-4, u/v>=0);
+    # HIGHEST runs the 6-pass decomposition at full f32 accuracy. K=8 makes
+    # this matmul bandwidth-bound, so the extra passes are nearly free.
+    P = jnp.dot(
+        A, B, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+    )  # MXU
     return P.reshape(R, T, 6)
 
 

@@ -159,6 +159,17 @@ _register(Scene, ["geom", "mats", "atlas", "light_tris", "camera", "bvh"], ["sca
 LIGHT_RADIANCE_THRESHOLD = 0.01
 
 
+def scene_to_device(scene: Scene) -> Scene:
+    """One batched transfer of the whole scene pytree to the default device.
+
+    Host-side construction keeps every leaf as numpy; converting the full
+    pytree in a single device_put replaces the per-array transfers and the
+    on-device 1M-row permutation gather that made a 1M-triangle scene take
+    minutes to load (each leaf moves once, already in its final order/dtype).
+    """
+    return jax.device_put(scene)
+
+
 def build_scene_host(
     vertices: np.ndarray,  # f64[Nv,3]
     normals: np.ndarray,  # f64[Nn,3]
@@ -167,12 +178,17 @@ def build_scene_host(
     mats: dict,  # dict of numpy material arrays (see io/obj.py)
     atlas: "tuple[np.ndarray, np.ndarray] | None",
     camera: dict,
+    to_device: bool = True,
 ) -> Scene:
     """Flatten indexed faces into the SoA triangle soup.
 
     Mirrors reference src/Render.cpp:12-44 (tranform_triangle): the material
     index is taken from face corner 0, AABB corners (here: areas) are
     precomputed, and emitters with |radiance| > 0.01 build the light list.
+
+    With `to_device=False` every leaf stays a numpy array (the load pipeline
+    permutes triangles into BVH order on host first, then converts once via
+    `scene_to_device`).
     """
     f = np.asarray(faces)
     T = f.shape[0]
@@ -201,28 +217,28 @@ def build_scene_host(
         atlas_data, atlas_size = atlas
 
     geom = Geometry(
-        v0=jnp.asarray(v0, jnp.float32),
-        e1=jnp.asarray(e1, jnp.float32),
-        e2=jnp.asarray(e2, jnp.float32),
-        vn=jnp.asarray(vn, jnp.float32),
-        uv=jnp.asarray(uv, jnp.float32),
-        mat_id=jnp.asarray(mat_id),
-        area=jnp.asarray(area, jnp.float32),
+        v0=np.asarray(v0, np.float32),
+        e1=np.asarray(e1, np.float32),
+        e2=np.asarray(e2, np.float32),
+        vn=np.asarray(vn, np.float32),
+        uv=np.asarray(uv, np.float32),
+        mat_id=np.asarray(mat_id, np.int32),
+        area=np.asarray(area, np.float32),
     )
     materials = Materials(
-        kd=jnp.asarray(mats["kd"], jnp.float32),
-        ks=jnp.asarray(mats["ks"], jnp.float32),
-        ns=jnp.asarray(mats["ns"], jnp.float32),
-        radiance=jnp.asarray(mats["radiance"], jnp.float32),
-        tex_id=jnp.asarray(mats["tex_id"], jnp.int32),
-        tr=jnp.asarray(mats.get("tr", np.zeros_like(mats["kd"])), jnp.float32),
-        ni=jnp.asarray(mats.get("ni", np.ones_like(mats["ns"])), jnp.float32),
+        kd=np.asarray(mats["kd"], np.float32),
+        ks=np.asarray(mats["ks"], np.float32),
+        ns=np.asarray(mats["ns"], np.float32),
+        radiance=np.asarray(mats["radiance"], np.float32),
+        tex_id=np.asarray(mats["tex_id"], np.int32),
+        tr=np.asarray(mats.get("tr", np.zeros_like(mats["kd"])), np.float32),
+        ni=np.asarray(mats.get("ni", np.ones_like(mats["ns"])), np.float32),
     )
     cam = Camera(
-        eye=jnp.asarray(camera["eye"], jnp.float32),
-        lookat=jnp.asarray(camera["lookat"], jnp.float32),
-        up=jnp.asarray(camera["up"], jnp.float32),
-        fovy=jnp.asarray(camera["fovy"], jnp.float32),
+        eye=np.asarray(camera["eye"], np.float32),
+        lookat=np.asarray(camera["lookat"], np.float32),
+        up=np.asarray(camera["up"], np.float32),
+        fovy=np.asarray(camera["fovy"], np.float32),
         width=int(camera["width"]),
         height=int(camera["height"]),
     )
@@ -230,34 +246,40 @@ def build_scene_host(
         diag = float(np.linalg.norm(vertices.max(axis=0) - vertices.min(axis=0)))
     else:
         diag = 1.0
-    return Scene(
+    scene = Scene(
         geom=geom,
         mats=materials,
         atlas=TextureAtlas(
-            data=jnp.asarray(atlas_data, jnp.float32),
-            size=jnp.asarray(atlas_size, jnp.int32),
+            data=np.asarray(atlas_data, np.float32),
+            size=np.asarray(atlas_size, np.int32),
         ),
-        light_tris=jnp.asarray(light_tris),
+        light_tris=np.asarray(light_tris, np.int32),
         camera=cam,
         bvh=None,
         scale=diag if diag > 0 else 1.0,
     )
+    return scene_to_device(scene) if to_device else scene
 
 
 def permute_scene_tris(scene: Scene, perm: np.ndarray) -> Scene:
-    """Reorder the triangle buffer (BVH leaf order) and remap light indices."""
+    """Reorder the triangle buffer (BVH leaf order) and remap light indices.
+
+    Runs entirely in numpy: permuting 1M-triangle arrays on host is
+    milliseconds, while the equivalent on-device gather (plus pulling device
+    arrays back) dominated scene load time.
+    """
     perm = np.asarray(perm)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.shape[0])
     g = scene.geom
     geom = Geometry(
-        v0=g.v0[perm],
-        e1=g.e1[perm],
-        e2=g.e2[perm],
-        vn=g.vn[perm],
-        uv=g.uv[perm],
-        mat_id=g.mat_id[perm],
-        area=g.area[perm],
+        v0=np.asarray(g.v0)[perm],
+        e1=np.asarray(g.e1)[perm],
+        e2=np.asarray(g.e2)[perm],
+        vn=np.asarray(g.vn)[perm],
+        uv=np.asarray(g.uv)[perm],
+        mat_id=np.asarray(g.mat_id)[perm],
+        area=np.asarray(g.area)[perm],
     )
-    light_tris = jnp.asarray(inv[np.asarray(scene.light_tris)], jnp.int32)
+    light_tris = inv[np.asarray(scene.light_tris)].astype(np.int32)
     return dataclasses.replace(scene, geom=geom, light_tris=light_tris)

@@ -49,7 +49,7 @@ def test_render_seed_mismatch_rejected(tmp_path):
           "--spp-per-pass", "1", "--bounces", "1", "--no-bvh",
           "--checkpoint", ck, "--checkpoint-every", "1",
           "--out", str(tmp_path / "a.png")])
-    with pytest.raises(AssertionError):
+    with pytest.raises(SystemExit):
         main(["render", SCENE, "--width", "16", "--height", "16", "--spp", "2",
               "--seed", "7", "--no-bvh", "--resume", ck,
               "--out", str(tmp_path / "b.png")])

@@ -37,8 +37,10 @@ def test_bvh_equals_bruteforce_image(cornell_scene, cornell_scene_bvh):
     The BVH permutes triangles, so light-triangle order can differ; the
     cornell light is a single quad (2 tris) sharing one material, and NEE
     samples lights uniformly — permutation within the light list changes
-    which uniform maps to which triangle. Renders match only if the light
-    list order is preserved; we sort both to the same order instead.
+    which uniform maps to which triangle. So exact equality is not expected:
+    the assertion is a tight statistical match (means within 5e-3) plus a
+    pixelwise 95%-close check, which light-order permutation passes but a
+    broken intersector does not.
     """
     img_b, rb = _render(cornell_scene, spp=4, w=48, h=48, seed=3)
     img_v, rv = _render(cornell_scene_bvh, spp=4, w=48, h=48, seed=3)

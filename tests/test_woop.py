@@ -125,6 +125,10 @@ def test_render_image_woop_vs_mt(cornell_scene):
     def render(algo):
         old = I.DENSE_ALGO
         I.DENSE_ALGO = algo
+        # DENSE_ALGO is read at trace time: both renders have identical avals
+        # and static args, so without this the second call would reuse the
+        # first algorithm's compiled program and never execute its own path.
+        jax.clear_caches()
         try:
             r = Renderer(
                 cornell_scene,
