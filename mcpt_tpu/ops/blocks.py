@@ -106,28 +106,30 @@ def _woop_block_tables(v0, e1, e2):
 
     Same algebra as ops/intersect._woop_tables (see the derivation there):
     returns ([T,8,6] per-tri columns, [T] 1/|n|^2 with +inf marking
-    degenerate triangles). Computed in f32 on device so the dot products
-    match the dense Woop path bit for bit.
+    degenerate triangles). Pure f32 numpy: vectorized host construction is
+    ~20x faster than staging [1M,8,6] scatter updates through the device,
+    and f32 numpy arithmetic is the same IEEE ops the device would do.
     """
-    n = cross(e1, e2)
-    n2 = jnp.sum(n * n, axis=-1)
+    v0 = np.asarray(v0, np.float32)
+    e1 = np.asarray(e1, np.float32)
+    e2 = np.asarray(e2, np.float32)
+    n = np.cross(e1, e2)
+    n2 = np.sum(n * n, axis=-1)
     ok = n2 > 0
-    inv = jnp.where(ok, 1.0 / jnp.where(ok, n2, 1.0), 0.0)
-    r1 = cross(e2, n) * inv[:, None]
-    r2 = cross(n, e1) * inv[:, None]
+    inv = np.where(ok, 1.0 / np.where(ok, n2, 1.0), 0.0).astype(np.float32)
+    r1 = np.cross(e2, n) * inv[:, None]
+    r2 = np.cross(n, e1) * inv[:, None]
     r3 = n * inv[:, None]
-    W = jnp.stack([r1, r2, r3], axis=1)  # [T,3,3]
-    p = -jnp.einsum(
-        "tkj,tj->tk", W, v0, precision=jax.lax.Precision.HIGHEST
-    )  # [T,3]
+    W = np.stack([r1, r2, r3], axis=1).astype(np.float32)  # [T,3,3]
+    p = -np.einsum("tkj,tj->tk", W, v0)  # [T,3]
     T = v0.shape[0]
     # columns of the [8, 6] per-triangle slab of the big B matrix:
     # rows 0:3 (o' inputs) = W^T cols + p in row 3; rows 4:7 = W^T for d'
-    blk = jnp.zeros((T, 8, 6), W.dtype)
-    blk = blk.at[:, 0:3, 0:3].set(jnp.swapaxes(W, 1, 2))  # o' = W o + p
-    blk = blk.at[:, 3, 0:3].set(p)
-    blk = blk.at[:, 4:7, 3:6].set(jnp.swapaxes(W, 1, 2))  # d' = W d
-    inv_n2 = jnp.where(ok, inv, F32_MAX)
+    blk = np.zeros((T, 8, 6), np.float32)
+    blk[:, 0:3, 0:3] = W.swapaxes(1, 2)  # o' = W o + p
+    blk[:, 3, 0:3] = p
+    blk[:, 4:7, 3:6] = W.swapaxes(1, 2)  # d' = W d
+    inv_n2 = np.where(ok, inv, np.float32(np.finfo(np.float32).max))
     return blk, inv_n2
 
 
@@ -163,20 +165,18 @@ def build_blocks(geom_v0, geom_e1, geom_e2, block_c: int = DEFAULT_BLOCK_C) -> B
     lo = np.where(valid, tri_lo, np.inf).min(axis=1)
     hi = np.where(valid, tri_hi, -np.inf).max(axis=1)
 
-    blk, inv_n2 = _woop_block_tables(
-        jnp.asarray(v0p), jnp.asarray(e1p), jnp.asarray(e2p)
-    )
+    blk, inv_n2 = _woop_block_tables(v0p, e1p, e2p)
     # [Tp, 8, 6] -> [L, 8, 6C]: block l's B matrix is woop[l] (one DMA row)
-    woop = (
+    woop = np.ascontiguousarray(
         blk.reshape(L, block_c, 8, 6)
         .transpose(0, 2, 1, 3)
         .reshape(L, 8, 6 * block_c)
     )
     return BlockSet(
-        lo=jnp.asarray(lo),
-        hi=jnp.asarray(hi),
-        woop=woop,
-        inv_n2=inv_n2.reshape(L, block_c),
+        lo=jnp.asarray(lo, jnp.float32),
+        hi=jnp.asarray(hi, jnp.float32),
+        woop=jnp.asarray(woop),
+        inv_n2=jnp.asarray(inv_n2.reshape(L, block_c)),
         n_real_tris=T,
     )
 
@@ -341,34 +341,59 @@ def _gather_k(cand, cursor):
     return jnp.max(jnp.where(onehot, cand, jnp.int32(-(2**31))), axis=1)
 
 
-@partial(jax.jit, static_argnames=("G", "K", "use_topk_pallas"))
+def _sort_by_first_block(cand0, bits, *rows):
+    """Reorder lanes so groups share their first candidate block.
+
+    Sorted by (first block id, first key): lanes wanting the same block land
+    in the same voting group, which is what makes the group wave efficient
+    for incoherent (bounce/scrambled) ray batches. Returns (inv_order,
+    sorted cand0, *sorted rows); un-permute outputs with take(x, inv_order).
+    """
+    first = cand0[:, 0]
+    block0, _ = _decode_key(first, bits)
+    order = jnp.lexsort((first, block0))
+    inv = jnp.argsort(order)
+    out = [jnp.take(cand0, order, axis=0)]
+    for r in rows:
+        out.append(jnp.take(r, order, axis=0))
+    return (inv, *out)
+
+
+@partial(
+    jax.jit, static_argnames=("G", "K", "use_topk_pallas", "sort_rays", "with_stats")
+)
 def closest_hit_blocks_impl(
-    bs: BlockSet, org, dirn, t_min, t_max, G: int, K: int, use_topk_pallas: bool
+    bs: BlockSet, org, dirn, t_min, t_max, G: int, K: int,
+    use_topk_pallas: bool, sort_rays: bool = True, with_stats: bool = False,
 ):
     R = org.shape[0]
     bits = _id_bits(bs.n_blocks)
-    inv_d = 1.0 / dirn
     t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
     t_hi0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
-    A = _ray_rows(org, dirn)
     n_groups = R // G
     assert n_groups * G == R, f"ray count {R} must be a multiple of group {G}"
 
-    def build_cands(last_key, best_t):
+    def build_cands(org, inv_d, best_t, last_key):
         if use_topk_pallas:
             from mcpt_tpu.ops.pallas.cull import top_k_candidates
 
-            keys = top_k_candidates(
+            return top_k_candidates(
                 bs.lo, bs.hi, org, inv_d, t_lo, jnp.minimum(t_hi0, best_t),
                 last_key, K, bits,
             )
-            return keys
         keys = _entry_keys(bs, org, inv_d, t_lo, jnp.minimum(t_hi0, best_t))
         keys = jnp.where(keys > last_key[:, None], keys, KEY_MISS)
         return _top_k_keys(keys, K)
 
     best_t0 = jnp.full((R,), F32_MAX)
-    cand0 = build_cands(jnp.full((R,), -(2**31), jnp.int32), best_t0)
+    inv_d = 1.0 / dirn
+    cand0 = build_cands(org, inv_d, best_t0, jnp.full((R,), -(2**31), jnp.int32))
+    if sort_rays:
+        inv_order, cand0, org, dirn, inv_d, t_lo, t_hi0 = _sort_by_first_block(
+            cand0, bits, org, dirn, inv_d, t_lo, t_hi0
+        )
+    A = _ray_rows(org, dirn)
+    build_cands = partial(build_cands, org, inv_d)
 
     def outer_cond(st):
         cand, cursor, best_t, best_tri, _ = st
@@ -391,7 +416,7 @@ def closest_hit_blocks_impl(
         _, last_t = _decode_key(last, bits)
         need = (cursor >= K) & (last != KEY_MISS) & (last_t < best_t)
         new_cand = build_cands(
-            jnp.where(need, last, jnp.int32(2**31 - 2)), best_t
+            best_t, jnp.where(need, last, jnp.int32(2**31 - 2))
         )
         cand = jnp.where(need[:, None], new_cand, cand)
         cursor = jnp.where(need, 0, cursor)
@@ -427,26 +452,33 @@ def closest_hit_blocks_impl(
     cand, cursor, best_t, best_tri, nwaves = jax.lax.while_loop(
         outer_cond, outer_body, st
     )
+    if sort_rays:
+        best_t = jnp.take(best_t, inv_order)
+        best_tri = jnp.take(best_tri, inv_order)
     miss = best_tri < 0
-    return Hit(t=jnp.where(miss, F32_MAX, best_t), tri=best_tri)
+    hit = Hit(t=jnp.where(miss, F32_MAX, best_t), tri=best_tri)
+    return (hit, nwaves) if with_stats else hit
 
 
-@partial(jax.jit, static_argnames=("G", "K", "use_topk_pallas"))
+@partial(
+    jax.jit, static_argnames=("G", "K", "use_topk_pallas", "sort_rays", "with_stats")
+)
 def any_hit_blocks_impl(
-    bs: BlockSet, org, dirn, t_min, t_max, G: int, K: int, use_topk_pallas: bool
+    bs: BlockSet, org, dirn, t_min, t_max, G: int, K: int,
+    use_topk_pallas: bool, sort_rays: bool = True, with_stats: bool = False,
 ):
     """Occlusion query. Candidate order does not matter; a found hit retires
     the lane (reference BVH::has_hit early-out, src/BVH.cpp:115-136)."""
     R = org.shape[0]
     bits = _id_bits(bs.n_blocks)
-    inv_d = 1.0 / dirn
     t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    # t_max is data-dependent per ray (shadow-ray distances), so it is
+    # sorted along with the rays below
     t_hi = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
-    A = _ray_rows(org, dirn)
     n_groups = R // G
     assert n_groups * G == R, f"ray count {R} must be a multiple of group {G}"
 
-    def build_cands(last_key):
+    def build_cands(org, inv_d, t_hi, last_key):
         if use_topk_pallas:
             from mcpt_tpu.ops.pallas.cull import top_k_candidates
 
@@ -457,7 +489,14 @@ def any_hit_blocks_impl(
         keys = jnp.where(keys > last_key[:, None], keys, KEY_MISS)
         return _top_k_keys(keys, K)
 
-    cand0 = build_cands(jnp.full((R,), -(2**31), jnp.int32))
+    inv_d = 1.0 / dirn
+    cand0 = build_cands(org, inv_d, t_hi, jnp.full((R,), -(2**31), jnp.int32))
+    if sort_rays:
+        inv_order, cand0, org, dirn, inv_d, t_lo, t_hi = _sort_by_first_block(
+            cand0, bits, org, dirn, inv_d, t_lo, t_hi
+        )
+    A = _ray_rows(org, dirn)
+    build_cands = partial(build_cands, org, inv_d, t_hi)
 
     def outer_cond(st):
         cand, cursor, found, _ = st
@@ -497,50 +536,65 @@ def any_hit_blocks_impl(
         jnp.zeros((R,), bool),
         jnp.zeros((), jnp.int32),
     )
-    _, _, found, _ = jax.lax.while_loop(outer_cond, outer_body, st)
-    return found
+    _, _, found, nwaves = jax.lax.while_loop(outer_cond, outer_body, st)
+    if sort_rays:
+        found = jnp.take(found, inv_order)
+    return (found, nwaves) if with_stats else found
 
 
-def _pad_to_group(org, dirn, G):
+def _pad_to_group(org, dirn, t_min, t_max, G):
     R = org.shape[0]
     Rp = -(-R // G) * G
     if Rp == R:
-        return org, dirn, R
+        return org, dirn, t_min, t_max, R
     pad = Rp - R
-    # padded lanes re-trace ray 0; output sliced off
+    # padded lanes re-trace ray 0 over an empty interval; output sliced off
     org = jnp.concatenate([org, jnp.broadcast_to(org[:1], (pad, 3))])
     dirn = jnp.concatenate([dirn, jnp.broadcast_to(dirn[:1], (pad, 3))])
-    return org, dirn, R
+    if jnp.ndim(t_min) == 1:
+        t_min = jnp.concatenate([t_min, jnp.full((pad,), F32_MAX, t_min.dtype)])
+    if jnp.ndim(t_max) == 1:
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+    return org, dirn, t_min, t_max, R
 
 
 def closest_hit_blocks(
     scene, org, dirn, t_min=T_MIN, t_max=F32_MAX,
     G: int = DEFAULT_GROUP_G, K: int = DEFAULT_TOP_K,
-    use_topk_pallas: bool = None,
-) -> Hit:
+    use_topk_pallas: bool = None, sort_rays: bool = True,
+    with_stats: bool = False,
+):
     bs = scene.blocks
     if use_topk_pallas is None:
         use_topk_pallas = _default_use_pallas()
     G = min(G, org.shape[0])
-    orgp, dirnp, R = _pad_to_group(org, dirn, G)
-    hit = closest_hit_blocks_impl(
-        bs, orgp, dirnp, t_min, t_max, G, K, use_topk_pallas
+    orgp, dirnp, t_min, t_max, R = _pad_to_group(org, dirn, t_min, t_max, G)
+    out = closest_hit_blocks_impl(
+        bs, orgp, dirnp, t_min, t_max, G, K, use_topk_pallas, sort_rays,
+        with_stats,
     )
-    return Hit(t=hit.t[:R], tri=hit.tri[:R])
+    hit, nwaves = out if with_stats else (out, None)
+    hit = Hit(t=hit.t[:R], tri=hit.tri[:R])
+    return (hit, nwaves) if with_stats else hit
 
 
 def any_hit_blocks(
     scene, org, dirn, t_min=T_MIN, t_max=F32_MAX,
     G: int = DEFAULT_GROUP_G, K: int = DEFAULT_TOP_K,
-    use_topk_pallas: bool = None,
-) -> jnp.ndarray:
+    use_topk_pallas: bool = None, sort_rays: bool = True,
+    with_stats: bool = False,
+):
     bs = scene.blocks
     if use_topk_pallas is None:
         use_topk_pallas = _default_use_pallas()
     G = min(G, org.shape[0])
-    orgp, dirnp, R = _pad_to_group(org, dirn, G)
-    found = any_hit_blocks_impl(bs, orgp, dirnp, t_min, t_max, G, K, use_topk_pallas)
-    return found[:R]
+    orgp, dirnp, t_min, t_max, R = _pad_to_group(org, dirn, t_min, t_max, G)
+    out = any_hit_blocks_impl(
+        bs, orgp, dirnp, t_min, t_max, G, K, use_topk_pallas, sort_rays,
+        with_stats,
+    )
+    found, nwaves = out if with_stats else (out, None)
+    return (found[:R], nwaves) if with_stats else found[:R]
 
 
 def _default_use_pallas() -> bool:

@@ -404,21 +404,32 @@ DENSE_ALGO = _os.environ.get("MCPT_INTERSECT", "woop")
 
 
 def closest_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
-    """Dispatch: dense intersect-all for small scenes, BVH for large ones."""
-    if scene.bvh is not None and scene.num_tris > BRUTE_FORCE_MAX_TRIS:
-        from mcpt_tpu.ops.traverse import closest_hit_bvh
+    """Dispatch: dense intersect-all for small scenes; block-wave traversal
+    (ops/blocks) for large ones, with the skip-link BVH walk as fallback."""
+    if scene.num_tris > BRUTE_FORCE_MAX_TRIS:
+        if scene.blocks is not None:
+            from mcpt_tpu.ops.blocks import closest_hit_blocks
 
-        return closest_hit_bvh(scene, org, dirn, t_min, t_max)
+            return closest_hit_blocks(scene, org, dirn, t_min, t_max)
+        if scene.bvh is not None:
+            from mcpt_tpu.ops.traverse import closest_hit_bvh
+
+            return closest_hit_bvh(scene, org, dirn, t_min, t_max)
     if DENSE_ALGO == "woop":
         return closest_hit_woop(scene, org, dirn, t_min, t_max)
     return closest_hit_bruteforce(scene, org, dirn, t_min, t_max)
 
 
 def any_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> jnp.ndarray:
-    if scene.bvh is not None and scene.num_tris > BRUTE_FORCE_MAX_TRIS:
-        from mcpt_tpu.ops.traverse import any_hit_bvh
+    if scene.num_tris > BRUTE_FORCE_MAX_TRIS:
+        if scene.blocks is not None:
+            from mcpt_tpu.ops.blocks import any_hit_blocks
 
-        return any_hit_bvh(scene, org, dirn, t_min, t_max)
+            return any_hit_blocks(scene, org, dirn, t_min, t_max)
+        if scene.bvh is not None:
+            from mcpt_tpu.ops.traverse import any_hit_bvh
+
+            return any_hit_bvh(scene, org, dirn, t_min, t_max)
     if DENSE_ALGO == "woop":
         return any_hit_woop(scene, org, dirn, t_min, t_max)
     return any_hit_bruteforce(scene, org, dirn, t_min, t_max)

@@ -132,6 +132,11 @@ class Scene:
     light_tris: jnp.ndarray  # i32[L] triangle indices of emitters
     camera: Camera
     bvh: Optional[FlatBVH] = None
+    # Block-wave acceleration (ops/blocks.BlockSet): contiguous BVH-ordered
+    # triangle blocks + per-block AABBs + Woop matmul tables. The preferred
+    # large-scene traversal on TPU (ops/intersect.closest_hit dispatch);
+    # typed Any to avoid a scene <-> ops import cycle.
+    blocks: Optional[Any] = None
     # Scene bbox diagonal (static). The reference traces in f64 with absolute
     # epsilons (Ray::t1 = 1e-4, src/Render.h:30); at f32 the self-intersection
     # noise floor scales with scene size, so secondary-ray t_min is
@@ -147,7 +152,11 @@ class Scene:
         return self.light_tris.shape[0]
 
 
-_register(Scene, ["geom", "mats", "atlas", "light_tris", "camera", "bvh"], ["scale"])
+_register(
+    Scene,
+    ["geom", "mats", "atlas", "light_tris", "camera", "bvh", "blocks"],
+    ["scale"],
+)
 
 
 # ---------------------------------------------------------------------------
