@@ -411,15 +411,25 @@ def closest_hit_blocks_impl(
         cand, cursor, best_t, best_tri, nwaves = st
 
         # refill candidate lists for rays that consumed all K and might
-        # still have blocks beyond the K-th key
+        # still have blocks beyond the K-th key. The [R, L] cull is by far
+        # the most expensive step, so it only runs on waves where some lane
+        # actually overflowed (lax.cond => real branch, skipped otherwise).
         last = cand[:, K - 1]
         _, last_t = _decode_key(last, bits)
         need = (cursor >= K) & (last != KEY_MISS) & (last_t < best_t)
-        new_cand = build_cands(
-            best_t, jnp.where(need, last, jnp.int32(2**31 - 2))
+
+        def do_refill(cand, cursor):
+            new_cand = build_cands(
+                best_t, jnp.where(need, last, jnp.int32(2**31 - 2))
+            )
+            return (
+                jnp.where(need[:, None], new_cand, cand),
+                jnp.where(need, 0, cursor),
+            )
+
+        cand, cursor = jax.lax.cond(
+            jnp.any(need), do_refill, lambda c, cu: (c, cu), cand, cursor
         )
-        cand = jnp.where(need[:, None], new_cand, cand)
-        cursor = jnp.where(need, 0, cursor)
 
         key_now = _gather_k(cand, jnp.minimum(cursor, K - 1))
         block_now, wt = _decode_key(key_now, bits)
@@ -510,9 +520,17 @@ def any_hit_blocks_impl(
         cand, cursor, found, nwaves = st
         last = cand[:, K - 1]
         need = ~found & (cursor >= K) & (last != KEY_MISS)
-        new_cand = build_cands(jnp.where(need, last, jnp.int32(2**31 - 2)))
-        cand = jnp.where(need[:, None], new_cand, cand)
-        cursor = jnp.where(need, 0, cursor)
+
+        def do_refill(cand, cursor):
+            new_cand = build_cands(jnp.where(need, last, jnp.int32(2**31 - 2)))
+            return (
+                jnp.where(need[:, None], new_cand, cand),
+                jnp.where(need, 0, cursor),
+            )
+
+        cand, cursor = jax.lax.cond(
+            jnp.any(need), do_refill, lambda c, cu: (c, cu), cand, cursor
+        )
 
         key_now = _gather_k(cand, jnp.minimum(cursor, K - 1))
         block_now, _ = _decode_key(key_now, bits)

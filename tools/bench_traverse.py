@@ -10,6 +10,7 @@ import argparse
 import os
 import sys
 import time
+from functools import partial
 
 import numpy as np
 
@@ -82,24 +83,45 @@ def main():
     if args.algo == "blocks":
         from mcpt_tpu.ops.blocks import any_hit_blocks, closest_hit_blocks
 
-        ch = lambda o, d: closest_hit_blocks(scene, o, d, with_stats=True, **kw)
-        ah = lambda o, d: any_hit_blocks(scene, o, d, with_stats=True, **kw)
+        ch = lambda o, d, **k2: closest_hit_blocks(
+            scene, o, d, with_stats=True, **kw, **k2
+        )
+        ah = lambda o, d, **k2: any_hit_blocks(
+            scene, o, d, with_stats=True, **kw, **k2
+        )
     elif args.algo == "bvh":
         from mcpt_tpu.ops.traverse import any_hit_bvh, closest_hit_bvh
 
-        ch = lambda o, d: closest_hit_bvh(scene, o, d)
-        ah = lambda o, d: any_hit_bvh(scene, o, d)
+        ch = lambda o, d, **k2: closest_hit_bvh(scene, o, d, **k2)
+        ah = lambda o, d, **k2: any_hit_bvh(scene, o, d, **k2)
     else:
         from mcpt_tpu.ops.intersect import any_hit, closest_hit
 
-        ch = lambda o, d: closest_hit(scene, o, d)
-        ah = lambda o, d: any_hit(scene, o, d)
+        ch = lambda o, d, **k2: closest_hit(scene, o, d, **k2)
+        ah = lambda o, d, **k2: any_hit(scene, o, d, **k2)
 
-    for name, fn, (o, d) in [
-        ("closest/primary", ch, (org, dirn)),
-        ("closest/scrambled", ch, (org2, dirn2)),
-        ("anyhit/primary", ah, (org, dirn)),
+    # realistic shadow rays: from primary hit points toward one light
+    # triangle, t_max = distance (the integrator's NEE any-hit pattern)
+    hit0 = ch(org, dirn)
+    hit0 = hit0[0] if isinstance(hit0, tuple) else hit0
+    t0h = jnp.minimum(hit0.t, 1e3)
+    p_hit = org + dirn * (t0h[:, None] * 0.999)
+    if scene.num_lights > 0:
+        lt = int(np.asarray(scene.light_tris)[0])
+        target = np.asarray(scene.geom.v0)[lt]
+    else:
+        target = np.asarray(scene.camera.lookat)
+    to_l = jnp.asarray(target)[None, :] - p_hit
+    dist = jnp.linalg.norm(to_l, axis=1)
+    d_sh = to_l / dist[:, None]
+
+    for name, fn, (o, d), k2 in [
+        ("closest/primary", ch, (org, dirn), {}),
+        ("closest/scrambled", ch, (org2, dirn2), {}),
+        ("anyhit/shadow", ah, (p_hit, d_sh), {"t_max": dist - 1e-3}),
+        ("anyhit/primary", ah, (org, dirn), {}),
     ]:
+        fn = partial(fn, **k2)
         # true device sync is a host readback: block_until_ready is
         # unreliable through the remote-TPU relay (see bench.py)
         def sync(out):
