@@ -168,9 +168,14 @@ def attach_bvh(
         with_blocks = scene.num_tris > BRUTE_FORCE_MAX_TRIS
     if with_blocks:
         from mcpt_tpu.ops.blocks import build_blocks
+        from mcpt_tpu.ops.treelets import build_treelets
 
         blocks = build_blocks(scene.geom.v0, scene.geom.e1, scene.geom.e2)
-        scene = dataclasses.replace(scene, blocks=blocks)
+        treelets = build_treelets(
+            scene.geom.v0, scene.geom.e1, scene.geom.e2, nodes,
+            to_device=False,
+        )
+        scene = dataclasses.replace(scene, blocks=blocks, treelets=treelets)
     return scene_to_device(scene) if to_device else scene
 
 

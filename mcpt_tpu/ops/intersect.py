@@ -403,11 +403,36 @@ import os as _os
 DENSE_ALGO = _os.environ.get("MCPT_INTERSECT", "woop")
 
 
+# Large-scene traversal override: "treelets" (Pallas megakernel; default on
+# real TPUs), "blocks" (XLA block-wave; default on CPU), "bvh" (skip-link
+# walk). Read at trace time — like DENSE_ALGO, changing it after a render
+# program is compiled has no effect on that program.
+TRAVERSAL = _os.environ.get("MCPT_TRAVERSAL", "auto")
+
+
+def _use_treelets(scene) -> bool:
+    if scene.treelets is None:
+        return False
+    if TRAVERSAL == "treelets":
+        return True
+    if TRAVERSAL != "auto":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def closest_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
-    """Dispatch: dense intersect-all for small scenes; block-wave traversal
-    (ops/blocks) for large ones, with the skip-link BVH walk as fallback."""
+    """Dispatch: dense intersect-all for small scenes; for large ones the
+    Pallas treelet megakernel on TPU (ops/pallas/traverse), the XLA
+    block-wave (ops/blocks) on CPU meshes, skip-link BVH walk as fallback."""
     if scene.num_tris > BRUTE_FORCE_MAX_TRIS:
-        if scene.blocks is not None:
+        if _use_treelets(scene):
+            from mcpt_tpu.ops.pallas.traverse import closest_hit_treelets
+
+            return closest_hit_treelets(scene, org, dirn, t_min, t_max)
+        if scene.blocks is not None and TRAVERSAL != "bvh":
             from mcpt_tpu.ops.blocks import closest_hit_blocks
 
             return closest_hit_blocks(scene, org, dirn, t_min, t_max)
@@ -422,7 +447,11 @@ def closest_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
 
 def any_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> jnp.ndarray:
     if scene.num_tris > BRUTE_FORCE_MAX_TRIS:
-        if scene.blocks is not None:
+        if _use_treelets(scene):
+            from mcpt_tpu.ops.pallas.traverse import any_hit_treelets
+
+            return any_hit_treelets(scene, org, dirn, t_min, t_max)
+        if scene.blocks is not None and TRAVERSAL != "bvh":
             from mcpt_tpu.ops.blocks import any_hit_blocks
 
             return any_hit_blocks(scene, org, dirn, t_min, t_max)

@@ -137,6 +137,10 @@ class Scene:
     # large-scene traversal on TPU (ops/intersect.closest_hit dispatch);
     # typed Any to avoid a scene <-> ops import cycle.
     blocks: Optional[Any] = None
+    # Two-level treelet layout (ops/treelets.TreeletSet) for the Pallas
+    # traversal megakernel (ops/pallas/traverse.py) — the preferred
+    # large-scene traversal on real TPUs. Typed Any (import cycle).
+    treelets: Optional[Any] = None
     # Scene bbox diagonal (static). The reference traces in f64 with absolute
     # epsilons (Ray::t1 = 1e-4, src/Render.h:30); at f32 the self-intersection
     # noise floor scales with scene size, so secondary-ray t_min is
@@ -154,7 +158,8 @@ class Scene:
 
 _register(
     Scene,
-    ["geom", "mats", "atlas", "light_tris", "camera", "bvh", "blocks"],
+    ["geom", "mats", "atlas", "light_tris", "camera", "bvh", "blocks",
+     "treelets"],
     ["scale"],
 )
 
