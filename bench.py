@@ -1,8 +1,14 @@
 #!/usr/bin/env python
-"""Benchmark: cornell-box 1024x1024, 64 spp on the attached TPU chip.
+"""Benchmarks on the attached TPU chip.
 
-Prints ONE JSON line:
-  {"metric": "Mrays/s/chip", "value": N, "unit": "Mrays/s", "vs_baseline": X}
+Default: cornell-box 1024x1024, 64 spp — prints ONE JSON line (the driver
+contract; this stays the LAST stdout line in every mode):
+  {"metric": "Mrays/s/chip", "value": N, "unit": "Mrays/s", "vs_baseline": N}
+
+--suite: all five BASELINE.json configs — one JSON line per config (stdout),
+full results in BENCH_SUITE.json, headline cornell line last. --quick
+divides the measured spp by 8 (throughput is steady-state per-pass, so
+Mrays/s is unaffected; time-to-image is extrapolated to the full spp).
 
 Ray accounting is honest traced work: 1 primary ray per sample plus
 (1 path + 1 shadow) ray per active bounce, measured on-device by the
@@ -12,6 +18,7 @@ the reference CPU records no quantitative number, SURVEY §6).
 
 Usage: python bench.py [--width 1024] [--height 1024] [--spp 64]
                        [--scene scenes/cornell-box.obj] [--bounces 24]
+       python bench.py --suite [--quick]
 """
 from __future__ import annotations
 
@@ -24,46 +31,47 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="scenes/cornell-box.obj")
-    ap.add_argument("--width", type=int, default=1024)
-    ap.add_argument("--height", type=int, default=1024)
-    ap.add_argument("--spp", type=int, default=64)
-    ap.add_argument("--bounces", type=int, default=24)
-    ap.add_argument("--spp-per-pass", type=int, default=64)
-    ap.add_argument("--save", default=None, help="optionally save the PNG")
-    args = ap.parse_args()
+def bench_render(scene_path, width, height, spp, bounces, spp_per_pass=None,
+                 save=None, spp_measure=None):
+    """Render benchmark for one config; returns a result dict.
 
+    `spp_measure` (if set) is the spp actually rendered for timing;
+    time_to_image_s is extrapolated linearly to the requested `spp`.
+    """
     import jax
-
-    jax.config.update("jax_compilation_cache_dir", "/tmp/mcpt_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
-    import numpy as np
 
     from mcpt_tpu.io.obj import load_scene
     from mcpt_tpu.render.renderer import RenderConfig, Renderer
 
-    scene = load_scene(args.scene, with_bvh=True)
+    t0 = time.perf_counter()
+    scene = load_scene(scene_path, with_bvh=True)
+    load_s = time.perf_counter() - t0
     dev = jax.devices()[0]
-    sys.stderr.write(f"[bench] device: {dev}, scene tris: {scene.num_tris}\n")
+    measured = spp_measure or spp
+    if spp_per_pass is None:
+        spp_per_pass = min(64, measured)
+    sys.stderr.write(
+        f"[bench] device: {dev}, scene: {scene_path} tris: {scene.num_tris} "
+        f"(load {load_s:.1f}s)\n"
+    )
 
     r = Renderer(
         scene,
         RenderConfig(
-            max_bounces=args.bounces,
-            width=args.width,
-            height=args.height,
-            spp_per_pass=args.spp_per_pass,
+            max_bounces=bounces,
+            width=width,
+            height=height,
+            spp_per_pass=spp_per_pass,
             seed=0,
         ),
     )
 
     # warmup + compile (ray counts accumulate on-device in film.rays)
+    t0 = time.perf_counter()
     r.step()
     rays_before = float(r.film.rays)
-    n_passes = max(1, args.spp // args.spp_per_pass - 1)
+    compile_s = time.perf_counter() - t0
+    n_passes = max(1, measured // spp_per_pass - 1)
     t0 = time.perf_counter()
     for _ in range(n_passes):
         r.step()
@@ -73,26 +81,154 @@ def main():
     dt = time.perf_counter() - t0
 
     mrays = total_rays / dt / 1e6
-    time_to_image = (args.spp / args.spp_per_pass) * (dt / n_passes)
+    time_to_image = (spp / spp_per_pass) * (dt / n_passes)
     sys.stderr.write(
         f"[bench] {n_passes} passes in {dt:.3f}s "
         f"({dt / n_passes * 1e3:.1f} ms/pass, {mrays:.1f} Mrays/s, "
-        f"time-to-image {time_to_image:.2f}s @ {args.spp}spp, "
-        f"nan={int(r.film.nan_count)})\n"
+        f"time-to-image {time_to_image:.2f}s @ {spp}spp, "
+        f"nan={int(r.film.nan_count)}, compile {compile_s:.1f}s)\n"
     )
-    if args.save:
-        r.save(args.save)
+    if save:
+        r.save(save)
 
-    print(
-        json.dumps(
-            {
-                "metric": "Mrays/s/chip",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 100.0, 3),
-            }
+    return {
+        "scene": os.path.basename(scene_path),
+        "width": width,
+        "height": height,
+        "spp": spp,
+        "spp_measured": measured,
+        "bounces": bounces,
+        "mrays_per_s": round(mrays, 2),
+        "ms_per_pass": round(dt / n_passes * 1e3, 1),
+        "time_to_image_s": round(time_to_image, 2),
+        "scene_load_s": round(load_s, 1),
+        "compile_s": round(compile_s, 1),
+        "nan_scrubbed": int(r.film.nan_count),
+    }
+
+
+def bench_inverse(steps_measure=25, steps_full=500, res=256, spp=4):
+    """Inverse-rendering config: Adam steps/s on cornell albedo+emission
+    recovery (BASELINE config #5: 500 steps)."""
+    import dataclasses as dc
+
+    import jax
+
+    from mcpt_tpu.diff.grad import extract_params, render_image
+    from mcpt_tpu.diff.inverse import make_inverse_step
+    from mcpt_tpu.io.obj import load_scene
+
+    scene = load_scene("scenes/cornell-box.obj", with_bvh=True)
+    cam = dc.replace(scene.camera, width=res, height=res)
+    scene = dc.replace(scene, camera=cam)
+    # synthetic target: forward render at the true parameters
+    key = jax.random.PRNGKey(7)
+    params0 = extract_params(scene)
+    target = render_image(params0, scene, key, spp, 6)
+    target = jax.block_until_ready(target)
+
+    init, step_fn = make_inverse_step(scene, target, spp=spp, max_bounces=6)
+    state = init(jax.tree_util.tree_map(lambda x: x * 0.5, params0))
+    t0 = time.perf_counter()
+    state, loss = step_fn(state, key)
+    loss = float(loss)  # sync
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(steps_measure):
+        state, loss = step_fn(state, key)
+    loss = float(loss)
+    dt = time.perf_counter() - t0
+    steps_per_s = steps_measure / dt
+    return {
+        "scene": "cornell-box.obj",
+        "config": f"inverse {res}x{res} {spp}spp Adam",
+        "steps_measured": steps_measure,
+        "steps_per_s": round(steps_per_s, 2),
+        "wall_500_steps_s": round(steps_full / steps_per_s, 1),
+        "final_loss": loss,
+        "compile_s": round(compile_s, 1),
+    }
+
+
+# The five BASELINE.json configs ("configs" list; see BASELINE.md).
+SUITE = [
+    dict(name="cornell-512-16", scene="scenes/cornell-box.obj",
+         width=512, height=512, spp=16, bounces=4),
+    dict(name="veach-mis-1024-128", scene="scenes/veach-mis.obj",
+         width=1024, height=1024, spp=128, bounces=24),
+    dict(name="bathroom-1280x720-256", scene="scenes/bathroom-stress.obj",
+         width=1280, height=720, spp=256, bounces=24),
+    dict(name="inverse-500", inverse=True),
+    # headline LAST so the driver's last-line parse still sees it
+    dict(name="cornell-1024-64", scene="scenes/cornell-box.obj",
+         width=1024, height=1024, spp=64, bounces=24, headline=True),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scene", default="scenes/cornell-box.obj")
+    ap.add_argument("--width", type=int, default=1024)
+    ap.add_argument("--height", type=int, default=1024)
+    ap.add_argument("--spp", type=int, default=64)
+    ap.add_argument("--bounces", type=int, default=24)
+    ap.add_argument("--spp-per-pass", type=int, default=None)
+    ap.add_argument("--save", default=None, help="optionally save the PNG")
+    ap.add_argument("--suite", action="store_true",
+                    help="run all five BASELINE configs")
+    ap.add_argument("--quick", action="store_true",
+                    help="suite: measure spp/8, extrapolate time-to-image")
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mcpt_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    if not args.suite:
+        res = bench_render(
+            args.scene, args.width, args.height, args.spp, args.bounces,
+            spp_per_pass=args.spp_per_pass, save=args.save,
         )
-    )
+        print(json.dumps({
+            "metric": "Mrays/s/chip",
+            "value": res["mrays_per_s"],
+            "unit": "Mrays/s",
+            "vs_baseline": round(res["mrays_per_s"] / 100.0, 3),
+        }))
+        return
+
+    results = []
+    headline = None
+    for cfg in SUITE:
+        try:
+            if cfg.get("inverse"):
+                res = bench_inverse(steps_measure=5 if args.quick else 25)
+            else:
+                spp_measure = None
+                if args.quick:
+                    spp_measure = max(8, cfg["spp"] // 8)
+                res = bench_render(
+                    cfg["scene"], cfg["width"], cfg["height"], cfg["spp"],
+                    cfg["bounces"], spp_measure=spp_measure,
+                )
+        except Exception as e:  # noqa: BLE001 — record, keep going
+            res = {"error": f"{type(e).__name__}: {e}"}
+        res["config"] = cfg["name"]
+        results.append(res)
+        if cfg.get("headline"):
+            headline = res
+        print(json.dumps(res), flush=True)
+
+    with open("BENCH_SUITE.json", "w") as f:
+        json.dump(results, f, indent=1)
+    if headline and "mrays_per_s" in headline:
+        print(json.dumps({
+            "metric": "Mrays/s/chip",
+            "value": headline["mrays_per_s"],
+            "unit": "Mrays/s",
+            "vs_baseline": round(headline["mrays_per_s"] / 100.0, 3),
+        }))
 
 
 if __name__ == "__main__":

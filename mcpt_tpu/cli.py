@@ -119,6 +119,13 @@ def cmd_render(args) -> int:
 
     out = args.out or f"{name}.obj{r.sample_idx}.png"  # reference naming (Scene.cpp:37)
     save(r.film, out)
+    if args.save_radiance:
+        import numpy as np
+
+        spp_col = np.maximum(np.asarray(r.film.spp), 1.0)[..., None]
+        np.savez(args.save_radiance,
+                 radiance=np.asarray(r.film.accum) / spp_col)
+        print(f"[render] radiance -> {args.save_radiance}")
     rays = float(r.film.rays)
     stats = {
         "scene": args.scene, "spp": r.sample_idx, "wall_s": round(wall, 3),
@@ -146,6 +153,19 @@ def cmd_inverse(args) -> int:
         # invert the output tonemap (gamma 1/2, Scene.cpp:26-29); PNGs are
         # stored bottom-up (vertical flip at save) so flip back
         target = jnp.asarray(load_png(args.target)[::-1] ** 2.0)
+        # A PNG target clamps radiance to [0,1] BEFORE the gamma curve
+        # (Scene.cpp:27), so emission (radiance >> 1) is unrecoverable from
+        # it; saturated pixels are the telltale. Use an .npz radiance target
+        # for emission recovery.
+        sat = float((target >= 0.98).mean())
+        if sat > 0.001:
+            print(
+                f"[inverse] WARNING: {sat:.1%} of target pixels are "
+                "saturated — the PNG tonemap clamps radiance to [0,1], so "
+                "light emission cannot be recovered from this target. "
+                "Render the target with --save-radiance (.npz) instead.",
+                file=sys.stderr,
+            )
 
     if args.width or args.height:
         import dataclasses as dc
@@ -216,6 +236,9 @@ def main(argv=None) -> int:
     pr.add_argument("--resume", default=None, help="resume from checkpoint (.npz)")
     pr.add_argument("--profile", default=None,
                     help="write a jax.profiler trace to this directory")
+    pr.add_argument("--save-radiance", default=None, metavar="PATH",
+                    help="also write the linear mean radiance as .npz "
+                         "(unclamped; the sound target for `inverse`)")
     pr.set_defaults(fn=cmd_render)
 
     pi = sub.add_parser("inverse", help="inverse rendering (recover kd/emission)")

@@ -72,6 +72,37 @@ def make_inverse_step(
     return init, step_fn
 
 
+def checkpoint_save_inverse(state: InverseState, path: str) -> None:
+    """Persist the FULL optimization state: params + Adam moments + step.
+
+    SURVEY §5 requires optimizer-state checkpointing for the 500-step
+    inverse config — resuming from params alone would reset Adam's first/
+    second moments and change the trajectory.
+    """
+    import numpy as np
+
+    leaves, _ = jax.tree_util.tree_flatten(state)
+    np.savez(path, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+
+
+def checkpoint_load_inverse(path: str, template: InverseState) -> InverseState:
+    """Rebuild an InverseState from `checkpoint_save_inverse` output.
+
+    `template` (a freshly init()ed state for the same optimizer/params
+    shapes) supplies the pytree structure; the checkpoint supplies leaves.
+    """
+    import numpy as np
+
+    data = np.load(path)
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    assert len(data.files) == len(leaves), (
+        f"checkpoint has {len(data.files)} leaves, optimizer state needs "
+        f"{len(leaves)} — different optimizer or parameter set"
+    )
+    new_leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(len(leaves))]
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 def run_inverse(
     scene: Scene,
     target: jnp.ndarray,
@@ -83,19 +114,31 @@ def run_inverse(
     seed: int = 0,
     param_mask: Optional[SceneParams] = None,
     progress: Optional[Callable] = None,
+    checkpoint_path: Optional[str] = None,
+    checkpoint_every: int = 0,
+    resume: Optional[str] = None,
 ):
-    """Adam loop. Returns (final_params, loss_history)."""
+    """Adam loop. Returns (final_params, loss_history).
+
+    `checkpoint_every > 0` writes the full optimizer state (params + Adam
+    moments + step) every N steps; `resume` restarts from such a file.
+    """
     init, step_fn = make_inverse_step(
         scene, target, spp, max_bounces, learning_rate, param_mask
     )
     state = init(init_params)
+    if resume:
+        state = checkpoint_load_inverse(resume, state)
     key = jax.random.PRNGKey(seed)
     losses = []
-    for i in range(steps):
+    start = int(state.step)
+    for i in range(start, steps):
         state, loss = step_fn(state, key)
         losses.append(float(loss))
         if progress is not None and (i % 25 == 0 or i == steps - 1):
             progress(i, losses[-1], state.params)
+        if checkpoint_every and checkpoint_path and (i + 1) % checkpoint_every == 0:
+            checkpoint_save_inverse(state, checkpoint_path)
     return state.params, losses
 
 

@@ -10,9 +10,9 @@ data layout):
        front-to-back; reference AABB::Intersection semantics incl. the 1.001
        far fudge, src/AABB.cpp:25-36)
     2. outer loop: vote = min key with entry < best_t over the whole tile
-       -> superblock s; compute its treelet keys [Rt, S_B] from the
-       VMEM-resident blk_box[s]
-    3. inner loop: vote treelet b; ONE async DMA fetches its [10, C]
+       -> superblock s; DMA its treelet AABB table blk_box[s] and compute
+       treelet keys [Rt, S_B]
+    3. inner loop: vote treelet b; ONE async DMA fetches its [16, C]
        triangle row HBM->VMEM; Moller-Trumbore intersects all Rt rays
        against all C triangles as a dense VPU wave; best (t, id) updates
        with the dense path's lowest-tri-id tie-break
@@ -119,8 +119,8 @@ def _mt_wave(tribuf, o, d, t_lo, det_eps):
 
 
 def _closest_kernel(
-    sb_box, blk_box, ray_ref, tri_hbm, out_t, out_id,
-    tribuf, sem, *, bits_ns, bits_sb, s_b,
+    sb_box, blk_box_hbm, ray_ref, tri_hbm, out_t, out_id,
+    sbk_ref, bk_ref, tribuf, bb_buf, sem, sem2, *, bits_ns, bits_sb, s_b,
 ):
     rays = ray_ref[:]
     o = rays[:, 0:3]
@@ -130,32 +130,40 @@ def _closest_kernel(
     t_hi = rays[:, 10][:, None]
     Rt = rays.shape[0]
 
-    # Key matrices ride the while_loop CARRIES (values, not scratch refs):
-    # loop conds must be pure functions of the carry — a cond that reads a
-    # ref the body mutates is undefined under state discharge (and hangs the
-    # interpreter). Only the DMA landing buffer stays a scratch ref.
-    sbkeys0 = _entry_keys(sb_box, o, inv, t_lo, t_hi, bits_ns)
+    # Loop discipline: key matrices live in SCRATCH REFS (sbk_ref/bk_ref);
+    # every while_loop cond is a pure function of its carry — the body
+    # computes the continue flag from the value it just wrote, so no cond
+    # ever reads a mutated ref (undefined under state discharge) and no
+    # multi-hundred-KB matrix rides a loop carry.
+    sbkeys = _entry_keys(sb_box, o, inv, t_lo, t_hi, bits_ns)
+    sbk_ref[:] = sbkeys
+    cont0 = jnp.any(_entry_lb(sbkeys, bits_ns) < t_hi)
 
     def outer_cond(st):
-        sbkeys, best_t, best_id = st
-        return jnp.any(_entry_lb(sbkeys, bits_ns) < best_t)
+        return st[0]
 
     def outer_body(st):
-        sbkeys, best_t, best_id = st
-        live = _entry_lb(sbkeys, bits_ns) < best_t
-        m = jnp.min(jnp.where(live, sbkeys, KEY_MISS))
+        _, best_t, best_id = st
+        keys = sbk_ref[:]
+        live = _entry_lb(keys, bits_ns) < best_t
+        m = jnp.min(jnp.where(live, keys, KEY_MISS))
         s = m & ((1 << bits_ns) - 1)
 
+        bdma = pltpu.make_async_copy(blk_box_hbm.at[s], bb_buf, sem2)
+        bdma.start()
+        bdma.wait()
         bk0 = _entry_keys(
-            blk_box[s], o, inv, t_lo, jnp.minimum(t_hi, best_t), bits_sb
+            bb_buf, o, inv, t_lo, jnp.minimum(t_hi, best_t), bits_sb
         )
+        bk_ref[:] = bk0
+        icont0 = jnp.any(_entry_lb(bk0, bits_sb) < best_t)
 
         def inner_cond(st):
-            bk, best_t, best_id = st
-            return jnp.any(_entry_lb(bk, bits_sb) < best_t)
+            return st[0]
 
         def inner_body(st):
-            bk, best_t, best_id = st
+            _, best_t, best_id = st
+            bk = bk_ref[:]
             live = _entry_lb(bk, bits_sb) < best_t
             mb = jnp.min(jnp.where(live, bk, KEY_MISS))
             b = mb & ((1 << bits_sb) - 1)
@@ -184,28 +192,33 @@ def _closest_kernel(
 
             lane = jax.lax.broadcasted_iota(jnp.int32, bk.shape, 1)
             bk = jnp.where(lane == b, KEY_MISS, bk)
-            return bk, best_t, best_id
+            bk_ref[:] = bk
+            icont = jnp.any(_entry_lb(bk, bits_sb) < best_t)
+            return icont, best_t, best_id
 
         _, best_t, best_id = jax.lax.while_loop(
-            inner_cond, inner_body, (bk0, best_t, best_id)
+            inner_cond, inner_body, (icont0, best_t, best_id)
         )
-        lane = jax.lax.broadcasted_iota(jnp.int32, sbkeys.shape, 1)
-        sbkeys = jnp.where(lane == s, KEY_MISS, sbkeys)
-        return sbkeys, best_t, best_id
+        lane = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
+        keys = jnp.where(lane == s, KEY_MISS, keys)
+        sbk_ref[:] = keys
+        cont = jnp.any(_entry_lb(keys, bits_ns) < best_t)
+        return cont, best_t, best_id
 
     best_t = t_hi
     best_id = jnp.full((Rt, 1), ID_MISS, jnp.int32)
     _, best_t, best_id = jax.lax.while_loop(
-        outer_cond, outer_body, (sbkeys0, best_t, best_id)
+        outer_cond, outer_body, (cont0, best_t, best_id)
     )
     hit = best_id < ID_MISS
-    out_t[:] = jnp.where(hit, best_t, F32_MAX)
-    out_id[:] = jnp.where(hit, best_id, -1)
+    W = out_t.shape[1]
+    out_t[:] = jnp.broadcast_to(jnp.where(hit, best_t, F32_MAX), (Rt, W))
+    out_id[:] = jnp.broadcast_to(jnp.where(hit, best_id, -1), (Rt, W))
 
 
 def _any_kernel(
-    sb_box, blk_box, ray_ref, tri_hbm, out_hit,
-    tribuf, sem, *, bits_ns, bits_sb, s_b,
+    sb_box, blk_box_hbm, ray_ref, tri_hbm, out_hit,
+    sbk_ref, bk_ref, tribuf, bb_buf, sem, sem2, *, bits_ns, bits_sb, s_b,
 ):
     rays = ray_ref[:]
     o = rays[:, 0:3]
@@ -215,30 +228,38 @@ def _any_kernel(
     t_hi = rays[:, 10][:, None]
     Rt = rays.shape[0]
 
-    sbkeys0 = _entry_keys(sb_box, o, inv, t_lo, t_hi, bits_ns)
-
     def live_keys(keys, found):
         # occlusion needs no front-to-back pruning: any unvisited key counts
         return (~found) & (keys != KEY_MISS)
 
+    sbkeys = _entry_keys(sb_box, o, inv, t_lo, t_hi, bits_ns)
+    sbk_ref[:] = sbkeys
+    found0 = jnp.zeros((Rt, 1), bool)
+    cont0 = jnp.any(live_keys(sbkeys, found0))
+
     def outer_cond(st):
-        sbkeys, found = st
-        return jnp.any(live_keys(sbkeys, found))
+        return st[0]
 
     def outer_body(st):
-        sbkeys, found = st
-        live = live_keys(sbkeys, found)
-        m = jnp.min(jnp.where(live, sbkeys, KEY_MISS))
+        _, found = st
+        keys = sbk_ref[:]
+        live = live_keys(keys, found)
+        m = jnp.min(jnp.where(live, keys, KEY_MISS))
         s = m & ((1 << bits_ns) - 1)
 
-        bk0 = _entry_keys(blk_box[s], o, inv, t_lo, t_hi, bits_sb)
+        bdma = pltpu.make_async_copy(blk_box_hbm.at[s], bb_buf, sem2)
+        bdma.start()
+        bdma.wait()
+        bk0 = _entry_keys(bb_buf, o, inv, t_lo, t_hi, bits_sb)
+        bk_ref[:] = bk0
+        icont0 = jnp.any(live_keys(bk0, found))
 
         def inner_cond(st):
-            bk, found = st
-            return jnp.any(live_keys(bk, found))
+            return st[0]
 
         def inner_body(st):
-            bk, found = st
+            _, found = st
+            bk = bk_ref[:]
             live = live_keys(bk, found)
             mb = jnp.min(jnp.where(live, bk, KEY_MISS))
             b = mb & ((1 << bits_sb) - 1)
@@ -258,16 +279,21 @@ def _any_kernel(
 
             lane = jax.lax.broadcasted_iota(jnp.int32, bk.shape, 1)
             bk = jnp.where(lane == b, KEY_MISS, bk)
-            return bk, found
+            bk_ref[:] = bk
+            icont = jnp.any(live_keys(bk, found))
+            return icont, found
 
-        _, found = jax.lax.while_loop(inner_cond, inner_body, (bk0, found))
-        lane = jax.lax.broadcasted_iota(jnp.int32, sbkeys.shape, 1)
-        sbkeys = jnp.where(lane == s, KEY_MISS, sbkeys)
-        return sbkeys, found
+        _, found = jax.lax.while_loop(inner_cond, inner_body, (icont0, found))
+        keys = sbk_ref[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
+        keys = jnp.where(lane == s, KEY_MISS, keys)
+        sbk_ref[:] = keys
+        cont = jnp.any(live_keys(keys, found))
+        return cont, found
 
-    found = jnp.zeros((Rt, 1), bool)
-    _, found = jax.lax.while_loop(outer_cond, outer_body, (sbkeys0, found))
-    out_hit[:] = found.astype(jnp.int32)
+    _, found = jax.lax.while_loop(outer_cond, outer_body, (cont0, found0))
+    W = out_hit.shape[1]
+    out_hit[:] = jnp.broadcast_to(found.astype(jnp.int32), (Rt, W))
 
 
 def _pack_rays(org, dirn, t_min, t_max, Rt):
@@ -313,34 +339,44 @@ def closest_hit_treelets_impl(
     rays, R, Rp = _pack_rays(org, dirn, t_min, t_max, ray_tile)
     Rt = min(ray_tile, Rp)
 
-    out_t, out_id = pl.pallas_call(
+    call = pl.pallas_call(
         functools.partial(
             _closest_kernel, bits_ns=bits_ns, bits_sb=bits_sb, s_b=s_b
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Rp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((Rp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((Rt, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Rt, 128), jnp.int32),
         ),
-        grid=(Rp // Rt,),
         in_specs=[
-            pl.BlockSpec((8, nsp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (ns, 8, s_b), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((Rt, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((Rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((10, c), jnp.float32),
+            pltpu.VMEM((Rt, nsp), jnp.int32),
+            pltpu.VMEM((Rt, s_b), jnp.int32),
+            pltpu.VMEM((16, c), jnp.float32),
+            pltpu.VMEM((8, s_b), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(ts.sb_box, ts.blk_box, rays, ts.tri)
-    return out_t[:R, 0], out_id[:R, 0]
+    )
+    # One gridless call per ray tile, unrolled in the traced program: a
+    # multi-step grid combined with in-kernel manual DMA wedges the TPU
+    # runtime (tools/probe_grid.py v1), so tiling lives OUTSIDE the kernel.
+    outs = [
+        call(ts.sb_box, ts.blk_box, rays[i * Rt : (i + 1) * Rt], ts.tri)
+        for i in range(Rp // Rt)
+    ]
+    out_t = jnp.concatenate([t[:, 0] for t, _ in outs], axis=0)
+    out_id = jnp.concatenate([i[:, 0] for _, i in outs], axis=0)
+    return out_t[:R], out_id[:R]
 
 
 @functools.partial(
@@ -358,30 +394,37 @@ def any_hit_treelets_impl(
     rays, R, Rp = _pack_rays(org, dirn, t_min, t_max, ray_tile)
     Rt = min(ray_tile, Rp)
 
-    out = pl.pallas_call(
+    call = pl.pallas_call(
         functools.partial(
             _any_kernel, bits_ns=bits_ns, bits_sb=bits_sb, s_b=s_b
         ),
-        out_shape=jax.ShapeDtypeStruct((Rp, 1), jnp.int32),
-        grid=(Rp // Rt,),
+        out_shape=jax.ShapeDtypeStruct((Rt, 128), jnp.int32),
         in_specs=[
-            pl.BlockSpec((8, nsp), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (ns, 8, s_b), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((Rt, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (Rt, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((10, c), jnp.float32),
+            pltpu.VMEM((Rt, nsp), jnp.int32),
+            pltpu.VMEM((Rt, s_b), jnp.int32),
+            pltpu.VMEM((16, c), jnp.float32),
+            pltpu.VMEM((8, s_b), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(ts.sb_box, ts.blk_box, rays, ts.tri)
-    return out[:R, 0] > 0
+    )
+    # gridless per-tile calls, unrolled — see closest_hit_treelets_impl
+    out = jnp.concatenate(
+        [
+            call(ts.sb_box, ts.blk_box, rays[i * Rt : (i + 1) * Rt], ts.tri)[:, 0]
+            for i in range(Rp // Rt)
+        ],
+        axis=0,
+    )
+    return out[:R] > 0
 
 
 def _default_interpret() -> bool:

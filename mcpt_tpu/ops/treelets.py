@@ -18,10 +18,13 @@ a union of an arbitrary chop, like ops/blocks uses) — culling quality is that
 of the underlying SAH/midpoint build.
 
 Device arrays (HBM unless noted):
-  sb_box  f32[8, NSp]           rows lo.xyz hi.xyz + 2 pad; VMEM-resident
-  blk_box f32[NS, 8, S_B]       per-superblock treelet boxes; VMEM-resident
-  tri     f32[NS * S_B, 10, C]  rows v0.xyz e1.xyz e2.xyz id(bitcast i32);
-                                one row == one DMA of a treelet's triangles
+  sb_box  f32[8, NSp]           rows lo.xyz hi.xyz valid pad; VMEM-resident
+  blk_box f32[NS, 8, S_B]       per-superblock treelet boxes (same row
+                                layout); DMA'd per chosen superblock
+  tri     f32[NS * S_B, 16, C]  rows v0.xyz e1.xyz e2.xyz id(bitcast i32)
+                                + 6 zero pad rows (16 sublanes = whole f32
+                                VMEM tiles); one row == one DMA of a
+                                treelet's triangles
 """
 from __future__ import annotations
 
@@ -45,7 +48,7 @@ class TreeletSet:
 
     sb_box: jnp.ndarray  # f32[8, NSp]
     blk_box: jnp.ndarray  # f32[NS, 8, S_B]
-    tri: jnp.ndarray  # f32[NS * S_B, 10, C]
+    tri: jnp.ndarray  # f32[NS * S_B, 16, C]
     n_real_tris: int
 
     @property
@@ -160,7 +163,7 @@ def build_treelets(
     blk_box[:, 0:3, :] = _INV_LO
     blk_box[:, 3:6, :] = _INV_HI
 
-    tri = np.zeros((ns * s_b, 10, c), np.float32)
+    tri = np.zeros((ns * s_b, 16, c), np.float32)
     # pad lanes: zero triangles (det == 0) with a huge id
     tri[:, 9, :] = np.float32(np.int32(PAD_TRI_ID).view(np.float32))
 
