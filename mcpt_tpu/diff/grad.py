@@ -1,21 +1,35 @@
-"""Differentiable rendering: d(pixels)/d(materials, emission).
+"""Differentiable rendering: d(pixels)/d(materials, emission, vertices).
 
-The estimator in render/integrator.py wraps every sampling decision, pdf,
-and RR factor in stop_gradient, so jax.grad of a render is the standard
-*detached-sampling* gradient (the sampler acts as a fixed importance
-distribution): unbiased for interior integrands, missing visibility-edge
-terms (vertex gradients are future work — BASELINE north star's
-"reparameterized/edge-aware" stage).
+The estimator in render/integrator.py wraps every *sampling decision*
+(uniform draws, lobe picks, sampled directions, RR outcomes) in
+stop_gradient, so jax.grad of a render is the *detached-random* gradient:
+the random numbers are frozen, every smooth quantity (hit points, normals,
+geometric pdf factors, MIS weights) is differentiated, and discrete
+decisions (which triangle a ray hits, visibility booleans, lobe choice)
+are held fixed. This is unbiased for interior integrands and misses only
+the visibility-edge terms (the reparameterized/edge-aware stage of the
+BASELINE north star remains documented future work).
 
-Differentiable parameters: per-material kd, ks, radiance. The counter-based
-RNG makes the estimator a deterministic function of (params, seed), so
-finite differences validate autodiff directly (tests/test_grad.py).
+Differentiable parameters: per-material kd, ks, radiance, plus `dverts` —
+a displacement field over the OBJ's SHARED vertex buffer [Nv,3]. Vertex
+displacement moves every incident triangle coherently (geom.vert_idx maps
+triangle corners to shared vertices), and flows into hit points, shading
+normals' interpolation weights, light sample positions, areas, and the
+d^2/cos NEE pdfs. Hit *selection* for scenes with prebuilt acceleration
+structures (BVH/blocks/treelets) uses the base geometry — exact at the
+gradient evaluation point dverts = 0; inverse-rendering steps that move
+vertices re-bake the scene between steps.
+
+The counter-based RNG makes the estimator a deterministic function of
+(params, seed), so finite differences validate autodiff directly
+(tests/test_grad.py).
 """
 from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -26,27 +40,59 @@ from mcpt_tpu.scene import Scene
 
 @dataclass(frozen=True)
 class SceneParams:
-    """The differentiable subset of the material table."""
+    """The differentiable subset of the scene: material table + vertex field."""
 
     kd: jnp.ndarray  # [M,3]
     ks: jnp.ndarray  # [M,3]
     radiance: jnp.ndarray  # [M,3]
+    # Displacement over the shared OBJ vertex buffer [Nv,3]; None when the
+    # scene has no vert_idx mapping (hand-built test soups). Gradients
+    # w.r.t. dverts at 0 are d(pixel)/d(vertex position).
+    dverts: Optional[jnp.ndarray] = None
 
 
 jax.tree_util.register_dataclass(
-    SceneParams, data_fields=["kd", "ks", "radiance"], meta_fields=[]
+    SceneParams, data_fields=["kd", "ks", "radiance", "dverts"], meta_fields=[]
 )
 
 
 def extract_params(scene: Scene) -> SceneParams:
-    return SceneParams(kd=scene.mats.kd, ks=scene.mats.ks, radiance=scene.mats.radiance)
+    dverts = None
+    if scene.geom.vert_idx is not None and scene.num_verts > 0:
+        dverts = jnp.zeros((scene.num_verts, 3), jnp.float32)
+    return SceneParams(
+        kd=scene.mats.kd, ks=scene.mats.ks, radiance=scene.mats.radiance,
+        dverts=dverts,
+    )
 
 
 def apply_params(scene: Scene, params: SceneParams) -> Scene:
     mats = dataclasses.replace(
         scene.mats, kd=params.kd, ks=params.ks, radiance=params.radiance
     )
-    return dataclasses.replace(scene, mats=mats)
+    scene = dataclasses.replace(scene, mats=mats)
+    if params.dverts is not None and scene.geom.vert_idx is not None:
+        g = scene.geom
+        d = params.dverts[g.vert_idx]  # [T,3,3] per-corner displacement
+        e1 = g.e1 + d[:, 1] - d[:, 0]
+        e2 = g.e2 + d[:, 2] - d[:, 0]
+        n = jnp.cross(e1, e2)
+        n2 = jnp.sum(n * n, axis=-1)
+        # double-where: sqrt'(0)=inf on degenerate triangles would NaN the
+        # whole dverts gradient; primal unchanged (sqrt(0) == 0)
+        safe = n2 > 0
+        area = jnp.where(safe, 0.5 * jnp.sqrt(jnp.where(safe, n2, 1.0)), 0.0)
+        geom = dataclasses.replace(
+            g,
+            v0=g.v0 + d[:, 0],
+            e1=e1,
+            e2=e2,
+            # area feeds the NEE light pdf (pack_light_table) — recompute
+            # differentiably (reference Triangle::area, src/Triangle.cpp:24-28)
+            area=area,
+        )
+        scene = dataclasses.replace(scene, geom=geom)
+    return scene
 
 
 def render_image(

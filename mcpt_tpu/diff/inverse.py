@@ -58,7 +58,18 @@ def make_inverse_step(
             state.params, scene, target, k, spp, max_bounces
         )
         if param_mask is not None:
-            grads = jax.tree.map(lambda g, m: g * m, grads, param_mask)
+            # field-wise (not tree.map): a mask built without dverts (None)
+            # freezes the vertex field rather than mismatching pytree
+            # structures against grads that carry one
+            dv = grads.dverts
+            if dv is not None:
+                dv = dv * param_mask.dverts if param_mask.dverts is not None else jnp.zeros_like(dv)
+            grads = SceneParams(
+                kd=grads.kd * param_mask.kd,
+                ks=grads.ks * param_mask.ks,
+                radiance=grads.radiance * param_mask.radiance,
+                dverts=dv,
+            )
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         # physical constraints: reflectances in [0,1], emission >= 0
@@ -66,6 +77,7 @@ def make_inverse_step(
             kd=jnp.clip(params.kd, 0.0, 1.0),
             ks=jnp.clip(params.ks, 0.0, 1.0),
             radiance=jnp.maximum(params.radiance, 0.0),
+            dverts=params.dverts,  # unconstrained (vertex displacement)
         )
         return InverseState(params=params, opt_state=opt_state, step=state.step + 1), loss
 

@@ -240,12 +240,19 @@ def build_atlas(table: MaterialTable):
         return None, tex_id
     from PIL import Image
 
+    from mcpt_tpu.io.image import load_hdr
+
     unique = sorted(set(paths))
     slot = {p: i for i, p in enumerate(unique)}
     imgs = []
     for p in unique:
-        im = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
-        imgs.append(im ** 2.2)  # stbi ldr->hdr default gamma
+        if p.lower().endswith(".hdr"):
+            # Radiance RGBE, already linear (stbi_loadf parity,
+            # src/model.cpp:8-23)
+            imgs.append(load_hdr(p))
+        else:
+            im = np.asarray(Image.open(p).convert("RGB"), np.float32) / 255.0
+            imgs.append(im ** 2.2)  # stbi ldr->hdr default gamma
     H = max(im.shape[0] for im in imgs)
     W = max(im.shape[1] for im in imgs)
     data = np.zeros((len(imgs), H, W, 3), np.float32)

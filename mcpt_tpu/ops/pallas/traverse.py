@@ -44,7 +44,10 @@ KEY_MISS = np.int32(2**31 - 1)
 F32_MAX = np.float32(np.finfo(np.float32).max)
 ID_MISS = np.int32(2**30)
 
-DEFAULT_RAY_TILE = 1024
+# 256 measured fastest on v5e (bathroom-stress, 65k rays): larger tiles
+# union more treelets per vote AND the kernel's [Rt, NSp] key temporaries
+# exceed the 16 MB scoped-VMEM stack at 1024 (compile OOM).
+DEFAULT_RAY_TILE = 256
 
 
 def _entry_keys(box_ref, o, inv, t_lo, t_hi, bits):
@@ -135,6 +138,13 @@ def _closest_kernel(
     # computes the continue flag from the value it just wrote, so no cond
     # ever reads a mutated ref (undefined under state discharge) and no
     # multi-hundred-KB matrix rides a loop carry.
+    #
+    # DMA pipeline: treelet rows are DOUBLE-BUFFERED (tribuf [2,16,C], one
+    # DMA semaphore per slot). Each inner iteration votes and launches the
+    # NEXT treelet's copy before waiting on the current one, so the
+    # HBM->VMEM latency hides under the Moller-Trumbore wave. The next vote
+    # uses the pre-wave best_t (one treelet stale) — it can only fetch a
+    # treelet the exact schedule would also have fetched, never skip one.
     sbkeys = _entry_keys(sb_box, o, inv, t_lo, t_hi, bits_ns)
     sbk_ref[:] = sbkeys
     cont0 = jnp.any(_entry_lb(sbkeys, bits_ns) < t_hi)
@@ -155,24 +165,44 @@ def _closest_kernel(
         bk0 = _entry_keys(
             bb_buf, o, inv, t_lo, jnp.minimum(t_hi, best_t), bits_sb
         )
-        bk_ref[:] = bk0
         icont0 = jnp.any(_entry_lb(bk0, bits_sb) < best_t)
+        # prologue: vote + launch the first treelet into slot 0
+        mb0 = jnp.min(jnp.where(_entry_lb(bk0, bits_sb) < best_t, bk0, KEY_MISS))
+        b0 = mb0 & ((1 << bits_sb) - 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, bk0.shape, 1)
+        bk_ref[:] = jnp.where(lane == b0, KEY_MISS, bk0)
+
+        @pl.when(icont0)
+        def _():
+            pltpu.make_async_copy(
+                tri_hbm.at[s * s_b + b0], tribuf.at[0], sem.at[0]
+            ).start()
 
         def inner_cond(st):
             return st[0]
 
         def inner_body(st):
-            _, best_t, best_id = st
+            _, slot, b, best_t, best_id = st
+            # vote + prefetch the NEXT treelet into the other slot
             bk = bk_ref[:]
-            live = _entry_lb(bk, bits_sb) < best_t
-            mb = jnp.min(jnp.where(live, bk, KEY_MISS))
-            b = mb & ((1 << bits_sb) - 1)
+            nlive = _entry_lb(bk, bits_sb) < best_t
+            has_next = jnp.any(nlive)
+            mbn = jnp.min(jnp.where(nlive, bk, KEY_MISS))
+            bn = mbn & ((1 << bits_sb) - 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, bk.shape, 1)
+            bk_ref[:] = jnp.where(lane == bn, KEY_MISS, bk)
 
-            dma = pltpu.make_async_copy(tri_hbm.at[s * s_b + b], tribuf, sem)
-            dma.start()
-            dma.wait()
+            @pl.when(has_next)
+            def _():
+                pltpu.make_async_copy(
+                    tri_hbm.at[s * s_b + bn], tribuf.at[1 - slot], sem.at[1 - slot]
+                ).start()
 
-            t, u, v, ok, tri_id = _mt_wave(tribuf, o, d, t_lo, 1e-5)
+            # drain the current slot's copy, then intersect it
+            pltpu.make_async_copy(
+                tri_hbm.at[s * s_b + b], tribuf.at[slot], sem.at[slot]
+            ).wait()
+            t, u, v, ok, tri_id = _mt_wave(tribuf.at[slot], o, d, t_lo, 1e-5)
             accept = (
                 ok & (t >= t_lo) & (t < t_hi) & (t <= best_t)
                 & (u >= 0) & (v >= 0) & (1.0 - u - v >= 0)
@@ -189,16 +219,15 @@ def _closest_kernel(
             better = better & (row_t < F32_MAX)
             best_t = jnp.where(better, row_t, best_t)
             best_id = jnp.where(better, row_id, best_id)
+            return has_next, 1 - slot, bn, best_t, best_id
 
-            lane = jax.lax.broadcasted_iota(jnp.int32, bk.shape, 1)
-            bk = jnp.where(lane == b, KEY_MISS, bk)
-            bk_ref[:] = bk
-            icont = jnp.any(_entry_lb(bk, bits_sb) < best_t)
-            return icont, best_t, best_id
-
-        _, best_t, best_id = jax.lax.while_loop(
-            inner_cond, inner_body, (icont0, best_t, best_id)
+        _, _, _, best_t, best_id = jax.lax.while_loop(
+            inner_cond, inner_body,
+            (icont0, jnp.int32(0), b0, best_t, best_id),
         )
+        # no DMA is in flight at loop exit: every prefetch is launched only
+        # when has_next, and the following iteration always waits on it; the
+        # final iteration (has_next = False) launches nothing.
         lane = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
         keys = jnp.where(lane == s, KEY_MISS, keys)
         sbk_ref[:] = keys
@@ -251,39 +280,54 @@ def _any_kernel(
         bdma.start()
         bdma.wait()
         bk0 = _entry_keys(bb_buf, o, inv, t_lo, t_hi, bits_sb)
-        bk_ref[:] = bk0
         icont0 = jnp.any(live_keys(bk0, found))
+        # double-buffered treelet pipeline (see _closest_kernel)
+        mb0 = jnp.min(jnp.where(live_keys(bk0, found), bk0, KEY_MISS))
+        b0 = mb0 & ((1 << bits_sb) - 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, bk0.shape, 1)
+        bk_ref[:] = jnp.where(lane == b0, KEY_MISS, bk0)
+
+        @pl.when(icont0)
+        def _():
+            pltpu.make_async_copy(
+                tri_hbm.at[s * s_b + b0], tribuf.at[0], sem.at[0]
+            ).start()
 
         def inner_cond(st):
             return st[0]
 
         def inner_body(st):
-            _, found = st
+            _, slot, b, found = st
             bk = bk_ref[:]
-            live = live_keys(bk, found)
-            mb = jnp.min(jnp.where(live, bk, KEY_MISS))
-            b = mb & ((1 << bits_sb) - 1)
+            nlive = live_keys(bk, found)
+            has_next = jnp.any(nlive)
+            mbn = jnp.min(jnp.where(nlive, bk, KEY_MISS))
+            bn = mbn & ((1 << bits_sb) - 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, bk.shape, 1)
+            bk_ref[:] = jnp.where(lane == bn, KEY_MISS, bk)
 
-            dma = pltpu.make_async_copy(tri_hbm.at[s * s_b + b], tribuf, sem)
-            dma.start()
-            dma.wait()
+            @pl.when(has_next)
+            def _():
+                pltpu.make_async_copy(
+                    tri_hbm.at[s * s_b + bn], tribuf.at[1 - slot], sem.at[1 - slot]
+                ).start()
 
+            pltpu.make_async_copy(
+                tri_hbm.at[s * s_b + b], tribuf.at[slot], sem.at[slot]
+            ).wait()
             # any-hit predicate: inclusive interval, 1e-6 det eps
             # (reference Triangle::isIntersect, src/Triangle.cpp:83-106)
-            t, u, v, ok, _ = _mt_wave(tribuf, o, d, t_lo, 1e-6)
+            t, u, v, ok, _ = _mt_wave(tribuf.at[slot], o, d, t_lo, 1e-6)
             accept = (
                 ok & (t >= t_lo) & (t <= t_hi)
                 & (u >= 0) & (u <= 1.0) & (v >= 0) & (u + v <= 1.0)
             )
             found = found | jnp.any(accept, axis=1)[:, None]
+            return has_next, 1 - slot, bn, found
 
-            lane = jax.lax.broadcasted_iota(jnp.int32, bk.shape, 1)
-            bk = jnp.where(lane == b, KEY_MISS, bk)
-            bk_ref[:] = bk
-            icont = jnp.any(live_keys(bk, found))
-            return icont, found
-
-        _, found = jax.lax.while_loop(inner_cond, inner_body, (icont0, found))
+        _, _, _, found = jax.lax.while_loop(
+            inner_cond, inner_body, (icont0, jnp.int32(0), b0, found)
+        )
         keys = sbk_ref[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
         keys = jnp.where(lane == s, KEY_MISS, keys)
@@ -360,9 +404,9 @@ def closest_hit_treelets_impl(
         scratch_shapes=[
             pltpu.VMEM((Rt, nsp), jnp.int32),
             pltpu.VMEM((Rt, s_b), jnp.int32),
-            pltpu.VMEM((16, c), jnp.float32),
+            pltpu.VMEM((2, 16, c), jnp.float32),  # double-buffered treelet rows
             pltpu.VMEM((8, s_b), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),  # one per treelet slot
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -409,9 +453,9 @@ def any_hit_treelets_impl(
         scratch_shapes=[
             pltpu.VMEM((Rt, nsp), jnp.int32),
             pltpu.VMEM((Rt, s_b), jnp.int32),
-            pltpu.VMEM((16, c), jnp.float32),
+            pltpu.VMEM((2, 16, c), jnp.float32),  # double-buffered treelet rows
             pltpu.VMEM((8, s_b), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),  # one per treelet slot
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,

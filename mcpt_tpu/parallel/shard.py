@@ -108,6 +108,66 @@ def render_pass_sharded(
     return Film(accum=accum, spp=spp_ct, nan_count=nan_ct, rays=ray_ct)
 
 
+def measure_scaling(
+    scene: Scene, mesh, max_bounces: int = 4, spp_per_pass: Optional[int] = None,
+    seed: int = 0,
+) -> dict:
+    """One sharded pass instrumented per device: traced-ray load balance.
+
+    SPMD programs execute in lockstep, so per-pass wall time on uniform
+    hardware = max over devices of per-device work; rays/s scaling
+    efficiency ≈ load balance = mean(per-device rays) / max(per-device
+    rays), degraded only by collective time (here: one film psum over
+    'spp' + two scalar psums). On a virtual CPU mesh (CI, dryrun) wall
+    time measures host-core oversubscription, not the program, so balance
+    is the honest scaling proxy; real multi-chip wall time exercises the
+    exact same compiled path.
+    """
+    cam = scene.camera
+    W, H = cam.width, cam.height
+    nt = mesh.shape["tiles"]
+    ns = mesh.shape["spp"]
+    n_dev = nt * ns
+    spp_per_pass = spp_per_pass or ns
+    assert H % nt == 0 and spp_per_pass % ns == 0
+    rows = H // nt
+    local_spp = spp_per_pass // ns
+    key = jax.random.PRNGKey(seed)
+
+    def local_rays(_):
+        ti = jax.lax.axis_index("tiles")
+        si = jax.lax.axis_index("spp")
+        row0 = ti.astype(jnp.int32) * rows
+        pixel_idx = row0 * W + jnp.arange(rows * W, dtype=jnp.int32)
+        from mcpt_tpu.render.integrator import trace_image_wavefront
+
+        _, nrays, _ = trace_image_wavefront(
+            scene, cam, key, pixel_idx,
+            si.astype(jnp.int32) * local_spp, local_spp, max_bounces,
+        )
+        return nrays.astype(jnp.float32).reshape(1)
+
+    per_dev = jax.jit(
+        jax.shard_map(
+            local_rays,
+            mesh=mesh,
+            in_specs=(P(("tiles", "spp")),),
+            out_specs=P(("tiles", "spp")),
+            check_vma=False,
+        )
+    )(jnp.zeros((n_dev,), jnp.float32))
+    import numpy as np
+
+    counts = np.asarray(per_dev, np.float64)
+    balance = float(counts.mean() / counts.max()) if counts.max() > 0 else 0.0
+    return {
+        "devices": n_dev,
+        "rays_per_device": counts.tolist(),
+        "total_rays": float(counts.sum()),
+        "balance_efficiency": balance,
+    }
+
+
 class ShardedRenderer:
     """Progressive renderer over a device mesh. API mirrors render.Renderer."""
 

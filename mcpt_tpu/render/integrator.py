@@ -33,9 +33,12 @@ Differences by design (not bugs):
     triangle via a one-hot MXU matmul (ops/gather.py) instead of ~12 scalar
     gathers — TPU dynamic gathers serialize on the scalar core.
 
-Sampling decisions, pdfs, and RR are wrapped in stop_gradient so the same
-code path yields detached-sampling gradients for materials/emission
-(d pixel / d {kd, ks, radiance}) under jax.grad.
+Sampling DECISIONS (uniform draws, sampled directions, lobe picks, RR
+outcomes, visibility booleans) are wrapped in stop_gradient; smooth factors
+(hit points/normals via expand_hit, NEE geometry pdfs, MIS weights) stay
+attached. Under jax.grad the same code path yields detached-random
+gradients for materials, emission, AND vertex positions
+(d pixel / d {kd, ks, radiance, dverts}) — see diff/grad.py.
 """
 from __future__ import annotations
 
@@ -271,7 +274,11 @@ def trace_paths(
             )
             d = lpoint - h.point
             dist2 = jnp.sum(d * d, axis=-1)
-            dist = jnp.sqrt(dist2)
+            # double-where: sqrt'(0) = inf would turn dead lanes' zero
+            # cotangents into NaN now that the geometric factors are
+            # attached (primal is bitwise unchanged: sqrt(0) == 0)
+            safe_d = dist2 > 0
+            dist = jnp.where(safe_d, jnp.sqrt(jnp.where(safe_d, dist2, 1.0)), 0.0)
             wl = d / jnp.maximum(dist, 1e-30)[:, None]
             cos_l = dot(-wl, lnrm)
             pdf_l = jnp.where(
@@ -281,16 +288,20 @@ def trace_paths(
             )
             # sanitize: a denormal cos_l can push pdf_l to inf
             pdf_l = jnp.where(jnp.isfinite(pdf_l), pdf_l, 0.0)
-            pdf_l = sg(pdf_l)
-            wl = sg(wl)
+            # pdf_l / wl / bp stay ATTACHED: they are smooth functions of the
+            # scene (d^2, cos, area, lobe params) at frozen random numbers,
+            # and the detached-random gradient (diff/grad.py) differentiates
+            # every smooth factor — only discrete decisions are detached.
             # visibility: any-hit over (t_min, dist) — the reference's
             # inclusive t<=t2 bound would let the light occlude itself at
             # f32, so the upper bound backs off by a relative epsilon.
+            # (boolean output; detach inputs so no backward graph builds)
             occluded = any_hit(
-                scene, sg(h.point), wl, t_min=t_min, t_max=sg(dist) * (1.0 - 1e-3)
+                scene, sg(h.point), sg(wl), t_min=t_min,
+                t_max=sg(dist) * (1.0 - 1e-3),
             )
             wl_local = to_local(onb, wl)
-            bp = sg(bsdf_pdf(lobes, wo_local, wl_local))
+            bp = bsdf_pdf(lobes, wo_local, wl_local)
             w_mis = power_heuristic(pdf_l / n_lights, bp)
             fx = bsdf_fx(lobes, wo_local, wl_local)
             cos_s = jnp.abs(dot(h.normal, wl))
@@ -335,7 +346,13 @@ def trace_paths(
 
         dl = h.point - hn.point
         dist2l = jnp.sum(dl * dl, axis=-1)
-        cos_nl = dot(normalize(dl, eps=1e-30), hn.normal)
+        # dead lanes (current miss + look-ahead miss both expand tri row 0)
+        # have dl == 0 exactly; normalize's backward is 0/0 there. Swap in a
+        # unit vector on those lanes — primal is unchanged because
+        # light_pdf's numerator dist2l is 0 either way.
+        safe_l = (dist2l > 0)[:, None]
+        dl_safe = jnp.where(safe_l, dl, jnp.ones_like(dl))
+        cos_nl = dot(normalize(dl_safe, eps=1e-30), hn.normal)
         light_pdf = jnp.where(
             cos_nl != 0.0,
             dist2l
@@ -344,6 +361,8 @@ def trace_paths(
             / jnp.maximum(hn.area, 1e-30),
             0.0,
         )
+        # light_pdf attached (smooth in d^2/cos/area); the sampled-direction
+        # pdf stays detached with the draw it belongs to
         w_hit = power_heuristic(pdf, sg(light_pdf))
         emit_contrib = jnp.where(
             is_mirror[:, None], beta * hn.radiance, beta * hn.radiance * w_hit[:, None]
@@ -370,7 +389,15 @@ def trace_paths(
     nrays0 = jnp.asarray(R, jnp.int32)  # primary rays
     carry = (dirn, h, L, beta, active, nrays0)
     if differentiable:
-        carry, _ = jax.lax.scan(bounce_body, carry, jnp.arange(max_bounces))
+        # reverse-mode needs a fixed trip count; jax.checkpoint drops the
+        # per-bounce activations (the [R,C] intersection waves dominate)
+        # and recomputes them in the backward sweep — memory goes from
+        # O(bounces * wave) to O(wave), which is what lets 512^2 inverse
+        # steps fit on one chip (HBM trade per the TPU guide: FLOPs are
+        # cheaper than HBM residency).
+        carry, _ = jax.lax.scan(
+            jax.checkpoint(bounce_body), carry, jnp.arange(max_bounces)
+        )
     else:
         # early-exit bounce loop: stop when every lane is retired
         def w_cond(state):

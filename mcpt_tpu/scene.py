@@ -81,9 +81,15 @@ class Geometry:
     uv: jnp.ndarray  # f32[T,3,2] per-vertex texture coords
     mat_id: jnp.ndarray  # i32[T]
     area: jnp.ndarray  # f32[T] precomputed triangle area (light pdf)
+    # Shared-vertex indices of the 3 corners into the ORIGINAL OBJ vertex
+    # buffer (i32[T,3]); lets a displacement field over shared vertices
+    # (diff/grad.SceneParams.dverts) move every incident triangle coherently,
+    # so d(pixel)/d(vertex) accumulates over the full one-ring. Optional:
+    # hand-built test geometries without an indexed mesh leave it None.
+    vert_idx: Optional[jnp.ndarray] = None
 
 
-_register(Geometry, ["v0", "e1", "e2", "vn", "uv", "mat_id", "area"])
+_register(Geometry, ["v0", "e1", "e2", "vn", "uv", "mat_id", "area", "vert_idx"])
 
 
 @dataclass(frozen=True)
@@ -146,6 +152,9 @@ class Scene:
     # noise floor scales with scene size, so secondary-ray t_min is
     # `RAY_EPS_REL * scale` (see render/integrator.py).
     scale: float = 1.0
+    # Number of shared vertices in the original OBJ buffer (static; sizes
+    # the diff/grad displacement field when geom.vert_idx is present).
+    num_verts: int = 0
 
     @property
     def num_tris(self) -> int:
@@ -160,7 +169,7 @@ _register(
     Scene,
     ["geom", "mats", "atlas", "light_tris", "camera", "bvh", "blocks",
      "treelets"],
-    ["scale"],
+    ["scale", "num_verts"],
 )
 
 
@@ -238,6 +247,7 @@ def build_scene_host(
         uv=np.asarray(uv, np.float32),
         mat_id=np.asarray(mat_id, np.int32),
         area=np.asarray(area, np.float32),
+        vert_idx=np.asarray(f[:, :, 0], np.int32),
     )
     materials = Materials(
         kd=np.asarray(mats["kd"], np.float32),
@@ -271,6 +281,7 @@ def build_scene_host(
         camera=cam,
         bvh=None,
         scale=diag if diag > 0 else 1.0,
+        num_verts=int(vertices.shape[0]),
     )
     return scene_to_device(scene) if to_device else scene
 
@@ -294,6 +305,7 @@ def permute_scene_tris(scene: Scene, perm: np.ndarray) -> Scene:
         uv=np.asarray(g.uv)[perm],
         mat_id=np.asarray(g.mat_id)[perm],
         area=np.asarray(g.area)[perm],
+        vert_idx=None if g.vert_idx is None else np.asarray(g.vert_idx)[perm],
     )
     light_tris = inv[np.asarray(scene.light_tris)].astype(np.int32)
     return dataclasses.replace(scene, geom=geom, light_tris=light_tris)

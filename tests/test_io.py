@@ -106,3 +106,43 @@ def test_tonemap_roundtrip():
     acc = np.array([[[0.25, 1.0, 4.0]]], np.float32) * 2.0
     out = tonemap(acc, 2.0)  # mean = (0.25, 1, 4) -> clamp -> sqrt
     np.testing.assert_array_equal(out[0, 0], [127, 255, 255])
+
+
+def test_load_hdr_flat_and_rle(tmp_path):
+    """Radiance RGBE decode parity with stbi_loadf: c * 2^(e-136)."""
+    import numpy as np
+
+    from mcpt_tpu.io.image import load_hdr
+
+    H, W = 4, 16
+    rng = np.random.default_rng(0)
+    rgbe = rng.integers(1, 255, (H, W, 4), dtype=np.uint8)
+    rgbe[..., 3] = rng.integers(120, 140, (H, W))
+    want = rgbe[..., :3].astype(np.float32) * np.ldexp(
+        np.float32(1.0), rgbe[..., 3].astype(np.int32) - 136
+    )[..., None]
+
+    header = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n" + f"-Y {H} +X {W}\n".encode()
+
+    flat = tmp_path / "flat.hdr"
+    flat.write_bytes(header + rgbe.tobytes())
+    np.testing.assert_allclose(load_hdr(str(flat)), want, rtol=1e-6)
+
+    # new-style RLE: per scanline, marker 2 2 hi lo then 4 component streams
+    out = bytearray(header)
+    for y in range(H):
+        out += bytes([2, 2, W >> 8, W & 0xFF])
+        for ch in range(4):
+            row = rgbe[y, :, ch]
+            # encode as one literal run + one repeated run for coverage
+            half = W // 2
+            out += bytes([half]) + row[:half].tobytes()
+            out += bytes([128 + half, int(row[half])])
+            # make the repeated-run data consistent with `want`
+            rgbe[y, half:, ch] = row[half]
+    want = rgbe[..., :3].astype(np.float32) * np.ldexp(
+        np.float32(1.0), rgbe[..., 3].astype(np.int32) - 136
+    )[..., None]
+    rle = tmp_path / "rle.hdr"
+    rle.write_bytes(bytes(out))
+    np.testing.assert_allclose(load_hdr(str(rle)), want, rtol=1e-6)
