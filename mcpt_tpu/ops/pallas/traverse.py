@@ -257,13 +257,17 @@ def _any_kernel(
     t_hi = rays[:, 10][:, None]
     Rt = rays.shape[0]
 
+    # `found` rides the while-loop carries as an i32 [Rt,1] vector (1 =
+    # occluded): Mosaic cannot legalize vector<i1> scf.yield loop carries on
+    # TPU ("failed to legalize scf.yield over vector<8x128xi1>"), so the
+    # boolean state is kept in integer form and compared where needed.
     def live_keys(keys, found):
         # occlusion needs no front-to-back pruning: any unvisited key counts
-        return (~found) & (keys != KEY_MISS)
+        return (found == 0) & (keys != KEY_MISS)
 
     sbkeys = _entry_keys(sb_box, o, inv, t_lo, t_hi, bits_ns)
     sbk_ref[:] = sbkeys
-    found0 = jnp.zeros((Rt, 1), bool)
+    found0 = jnp.zeros((Rt, 1), jnp.int32)
     cont0 = jnp.any(live_keys(sbkeys, found0))
 
     def outer_cond(st):
@@ -322,7 +326,7 @@ def _any_kernel(
                 ok & (t >= t_lo) & (t <= t_hi)
                 & (u >= 0) & (u <= 1.0) & (v >= 0) & (u + v <= 1.0)
             )
-            found = found | jnp.any(accept, axis=1)[:, None]
+            found = found | jnp.any(accept, axis=1)[:, None].astype(jnp.int32)
             return has_next, 1 - slot, bn, found
 
         _, _, _, found = jax.lax.while_loop(
@@ -337,7 +341,7 @@ def _any_kernel(
 
     _, found = jax.lax.while_loop(outer_cond, outer_body, (cont0, found0))
     W = out_hit.shape[1]
-    out_hit[:] = jnp.broadcast_to(found.astype(jnp.int32), (Rt, W))
+    out_hit[:] = jnp.broadcast_to(found, (Rt, W))
 
 
 def _pack_rays(org, dirn, t_min, t_max, Rt):

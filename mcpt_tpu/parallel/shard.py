@@ -168,6 +168,56 @@ def measure_scaling(
     }
 
 
+def measure_throughput_scaling(
+    scene: Scene, devices, counts=(1, 2, 4, 8), max_bounces: int = 4,
+    seed: int = 0, warmup: int = 1, timed: int = 2,
+) -> list:
+    """Time one sharded pass at each device count; report rays/s ratios.
+
+    The BASELINE scaling contract is rays/s vs device count, not load
+    balance. Each row jits the identical render_pass_sharded program over a
+    (n, 1) tiles-mesh built from a prefix of `devices`, times `timed`
+    passes after `warmup`, and reports Mrays/s, speedup vs the 1-device
+    row, and parallel efficiency. On a virtual CPU mesh absolute numbers
+    reflect host-core oversubscription (all "devices" share the host), so
+    treat efficiency as a smoke signal there; on a real slice this is the
+    scaling benchmark itself.
+    """
+    import numpy as np
+
+    rows_out = []
+    base = None
+    for n in counts:
+        if n > len(devices):
+            break
+        if scene.camera.height % n != 0:
+            continue
+        mesh = make_mesh(n, 1, devices=list(devices)[:n])
+        sr = ShardedRenderer(
+            scene, mesh=mesh, max_bounces=max_bounces, spp_per_pass=1,
+            seed=seed,
+        )
+        for _ in range(warmup):
+            sr.step()
+        t0 = time.perf_counter()
+        rays0 = float(sr.film.rays)
+        for _ in range(timed):
+            sr.step()
+        dt = time.perf_counter() - t0
+        rays = float(sr.film.rays) - rays0
+        mrps = rays / dt / 1e6 if dt > 0 else 0.0
+        if base is None:
+            base = mrps
+        speedup = mrps / base if base > 0 else 0.0
+        rows_out.append({
+            "devices": n,
+            "mrays_per_s": mrps,
+            "speedup": speedup,
+            "efficiency": speedup / n if n else 0.0,
+        })
+    return rows_out
+
+
 class ShardedRenderer:
     """Progressive renderer over a device mesh. API mirrors render.Renderer."""
 

@@ -121,9 +121,19 @@ def diffuse_pdf(wo, wi):
 
 
 def _safe_pow(base, exp):
-    """pow with base>=0; 0^0 := 1 like std::pow."""
+    """pow with base>=0; 0^0 := 1 like std::pow.
+
+    Backward-safe at base == 0 via the double-where pattern. The floor must
+    be a NORMAL f32: a denormal guard (the old 1e-38 < min-normal
+    1.1754944e-38) is flushed to zero by the backend's FTZ mode, so
+    log(max(0, 1e-38)) evaluated log(0) = -inf and its transpose emitted
+    NaN even at zero cotangent — which poisoned the entire dverts gradient
+    through the packed tri-table matmul (tests/test_grad.py vertex FD).
+    """
+    safe = base > 0
+    b = jnp.maximum(jnp.where(safe, base, 1.0), 1.2e-38)
     return jnp.where(
-        base > 0, jnp.exp(exp * jnp.log(jnp.maximum(base, 1e-38))), jnp.where(exp == 0, 1.0, 0.0)
+        safe, jnp.exp(exp * jnp.log(b)), jnp.where(exp == 0, 1.0, 0.0)
     )
 
 
@@ -175,8 +185,14 @@ def bsdf_sample(lobes: Lobes, wo, u_lobe, u1, u2):
 
     # --- mirror candidate (BSDF.cpp:78-85)
     wi_m = jnp.stack([-wo[..., 0], -wo[..., 1], wo_z], axis=-1)
+    # Backward-safe denominator: masked (wo_z <= 0) lanes still evaluate
+    # d(1/x) = -1/x^2 in the transpose; with the old 1e-30 floor x^2
+    # underflowed f32 to 0, so the partial was -inf and 0-cotangent x inf
+    # = NaN poisoned every upstream parameter. 1e-15 keeps x^2 normal.
     f_m = jnp.where(
-        valid_view[:, None], 1.0 / jnp.maximum(wo_z, 1e-30)[:, None] * jnp.ones_like(wo), 0.0
+        valid_view[:, None],
+        1.0 / jnp.maximum(wo_z, 1e-15)[:, None] * jnp.ones_like(wo),
+        0.0,
     )
     pdf_m = jnp.where(valid_view, 1.0, 0.0)
 

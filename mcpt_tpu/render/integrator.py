@@ -279,7 +279,11 @@ def trace_paths(
             # attached (primal is bitwise unchanged: sqrt(0) == 0)
             safe_d = dist2 > 0
             dist = jnp.where(safe_d, jnp.sqrt(jnp.where(safe_d, dist2, 1.0)), 0.0)
-            wl = d / jnp.maximum(dist, 1e-30)[:, None]
+            # dead lanes have dist == 0 exactly; a 1e-30 floor makes the
+            # division's transpose compute 1/(1e-30)^2 = inf (f32 underflow
+            # of the square), and 0-cotangent x inf = NaN. The double-where
+            # keeps the primal (0/1 = 0) and the partials finite.
+            wl = d / jnp.maximum(jnp.where(safe_d, dist, 1.0), 1e-15)[:, None]
             cos_l = dot(-wl, lnrm)
             pdf_l = jnp.where(
                 cos_l != 0.0,
