@@ -139,31 +139,63 @@ def _closest_kernel(
     # ever reads a mutated ref (undefined under state discharge) and no
     # multi-hundred-KB matrix rides a loop carry.
     #
-    # DMA pipeline: treelet rows are DOUBLE-BUFFERED (tribuf [2,16,C], one
-    # DMA semaphore per slot). Each inner iteration votes and launches the
-    # NEXT treelet's copy before waiting on the current one, so the
-    # HBM->VMEM latency hides under the Moller-Trumbore wave. The next vote
-    # uses the pre-wave best_t (one treelet stale) — it can only fetch a
-    # treelet the exact schedule would also have fetched, never skip one.
+    # DMA pipeline, BOTH levels double-buffered:
+    #   * treelet triangle rows (tribuf [2,16,C], one DMA semaphore per
+    #     slot): each inner iteration votes and launches the NEXT treelet's
+    #     copy before waiting on the current one, so HBM->VMEM latency
+    #     hides under the Moller-Trumbore wave. The next vote uses the
+    #     pre-wave best_t (one treelet stale) — it can only fetch a treelet
+    #     the exact schedule would also have fetched, never skip one.
+    #   * superblock box tables (bb_buf [2,8,S_B], sem2 [2]): the outer
+    #     loop votes the NEXT superblock before running the current one's
+    #     inner loop, so its table copy hides under the whole inner loop.
+    #     Round 2 started+waited this copy inline, fully exposing its
+    #     latency — measured ~6 us per outer iteration on coherent primary
+    #     tiles, the dominant cost when pruning leaves few treelets per
+    #     superblock. The post-inner liveness recheck uses the saved key
+    #     column, and a not-taken prefetch is drained before exit (a DMA
+    #     must never be left in flight at kernel end).
     sbkeys = _entry_keys(sb_box, o, inv, t_lo, t_hi, bits_ns)
     sbk_ref[:] = sbkeys
-    cont0 = jnp.any(_entry_lb(sbkeys, bits_ns) < t_hi)
+    lane_ns = jax.lax.broadcasted_iota(jnp.int32, sbkeys.shape, 1)
+    m0 = jnp.min(jnp.where(_entry_lb(sbkeys, bits_ns) < t_hi, sbkeys, KEY_MISS))
+    s0 = m0 & ((1 << bits_ns) - 1)
+    cont0 = m0 != KEY_MISS
+
+    @pl.when(cont0)
+    def _():
+        pltpu.make_async_copy(blk_box_hbm.at[s0], bb_buf.at[0], sem2.at[0]).start()
+        sbk_ref[:] = jnp.where(lane_ns == s0, KEY_MISS, sbkeys)
 
     def outer_cond(st):
         return st[0]
 
     def outer_body(st):
-        _, best_t, best_id = st
+        _, sslot, s, best_t, best_id = st
+        # vote + prefetch the NEXT superblock under this one's inner loop
         keys = sbk_ref[:]
         live = _entry_lb(keys, bits_ns) < best_t
-        m = jnp.min(jnp.where(live, keys, KEY_MISS))
-        s = m & ((1 << bits_ns) - 1)
+        mn = jnp.min(jnp.where(live, keys, KEY_MISS))
+        sn = mn & ((1 << bits_ns) - 1)
+        has_next = mn != KEY_MISS
+        # save sn's key column for the post-inner liveness recheck
+        col_next = jnp.min(
+            jnp.where(lane_ns == sn, keys, KEY_MISS), axis=1, keepdims=True
+        )
 
-        bdma = pltpu.make_async_copy(blk_box_hbm.at[s], bb_buf, sem2)
-        bdma.start()
-        bdma.wait()
+        @pl.when(has_next)
+        def _():
+            pltpu.make_async_copy(
+                blk_box_hbm.at[sn], bb_buf.at[1 - sslot], sem2.at[1 - sslot]
+            ).start()
+            sbk_ref[:] = jnp.where(lane_ns == sn, KEY_MISS, keys)
+
+        # drain the current superblock's table copy
+        pltpu.make_async_copy(
+            blk_box_hbm.at[s], bb_buf.at[sslot], sem2.at[sslot]
+        ).wait()
         bk0 = _entry_keys(
-            bb_buf, o, inv, t_lo, jnp.minimum(t_hi, best_t), bits_sb
+            bb_buf.at[sslot], o, inv, t_lo, jnp.minimum(t_hi, best_t), bits_sb
         )
         icont0 = jnp.any(_entry_lb(bk0, bits_sb) < best_t)
         # prologue: vote + launch the first treelet into slot 0
@@ -225,19 +257,32 @@ def _closest_kernel(
             inner_cond, inner_body,
             (icont0, jnp.int32(0), b0, best_t, best_id),
         )
-        # no DMA is in flight at loop exit: every prefetch is launched only
-        # when has_next, and the following iteration always waits on it; the
-        # final iteration (has_next = False) launches nothing.
-        lane = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
-        keys = jnp.where(lane == s, KEY_MISS, keys)
-        sbk_ref[:] = keys
-        cont = jnp.any(_entry_lb(keys, bits_ns) < best_t)
-        return cont, best_t, best_id
+        # no treelet DMA is in flight at inner exit: every prefetch is
+        # launched only when has_next, and the following iteration always
+        # waits on it; the final iteration (has_next = False) launches
+        # nothing. Continue while the prefetched column OR any remaining
+        # superblock is live under the updated best_t (checking only sn's
+        # column would exit early: sn holds the global-min key, but another
+        # superblock can still be live for a DIFFERENT ray). A live
+        # remainder with a dead sn just wastes one cheap prologue visit.
+        rem = sbk_ref[:]
+        cont = has_next & (
+            jnp.any(_entry_lb(col_next, bits_ns) < best_t)
+            | jnp.any(_entry_lb(rem, bits_ns) < best_t)
+        )
+
+        @pl.when(has_next & ~cont)
+        def _():
+            pltpu.make_async_copy(
+                blk_box_hbm.at[sn], bb_buf.at[1 - sslot], sem2.at[1 - sslot]
+            ).wait()
+
+        return cont, 1 - sslot, sn, best_t, best_id
 
     best_t = t_hi
     best_id = jnp.full((Rt, 1), ID_MISS, jnp.int32)
-    _, best_t, best_id = jax.lax.while_loop(
-        outer_cond, outer_body, (cont0, best_t, best_id)
+    _, _, _, best_t, best_id = jax.lax.while_loop(
+        outer_cond, outer_body, (cont0, jnp.int32(0), s0, best_t, best_id)
     )
     hit = best_id < ID_MISS
     W = out_t.shape[1]
@@ -268,22 +313,43 @@ def _any_kernel(
     sbkeys = _entry_keys(sb_box, o, inv, t_lo, t_hi, bits_ns)
     sbk_ref[:] = sbkeys
     found0 = jnp.zeros((Rt, 1), jnp.int32)
-    cont0 = jnp.any(live_keys(sbkeys, found0))
+    lane_ns = jax.lax.broadcasted_iota(jnp.int32, sbkeys.shape, 1)
+    m0 = jnp.min(jnp.where(live_keys(sbkeys, found0), sbkeys, KEY_MISS))
+    s0 = m0 & ((1 << bits_ns) - 1)
+    cont0 = m0 != KEY_MISS
+
+    @pl.when(cont0)
+    def _():
+        pltpu.make_async_copy(blk_box_hbm.at[s0], bb_buf.at[0], sem2.at[0]).start()
+        sbk_ref[:] = jnp.where(lane_ns == s0, KEY_MISS, sbkeys)
 
     def outer_cond(st):
         return st[0]
 
     def outer_body(st):
-        _, found = st
+        _, sslot, s, found = st
+        # vote + prefetch the NEXT superblock under this one's inner loop
+        # (double-buffered table copy — see _closest_kernel)
         keys = sbk_ref[:]
         live = live_keys(keys, found)
-        m = jnp.min(jnp.where(live, keys, KEY_MISS))
-        s = m & ((1 << bits_ns) - 1)
+        mn = jnp.min(jnp.where(live, keys, KEY_MISS))
+        sn = mn & ((1 << bits_ns) - 1)
+        has_next = mn != KEY_MISS
+        col_next = jnp.min(
+            jnp.where(lane_ns == sn, keys, KEY_MISS), axis=1, keepdims=True
+        )
 
-        bdma = pltpu.make_async_copy(blk_box_hbm.at[s], bb_buf, sem2)
-        bdma.start()
-        bdma.wait()
-        bk0 = _entry_keys(bb_buf, o, inv, t_lo, t_hi, bits_sb)
+        @pl.when(has_next)
+        def _():
+            pltpu.make_async_copy(
+                blk_box_hbm.at[sn], bb_buf.at[1 - sslot], sem2.at[1 - sslot]
+            ).start()
+            sbk_ref[:] = jnp.where(lane_ns == sn, KEY_MISS, keys)
+
+        pltpu.make_async_copy(
+            blk_box_hbm.at[s], bb_buf.at[sslot], sem2.at[sslot]
+        ).wait()
+        bk0 = _entry_keys(bb_buf.at[sslot], o, inv, t_lo, t_hi, bits_sb)
         icont0 = jnp.any(live_keys(bk0, found))
         # double-buffered treelet pipeline (see _closest_kernel)
         mb0 = jnp.min(jnp.where(live_keys(bk0, found), bk0, KEY_MISS))
@@ -332,14 +398,27 @@ def _any_kernel(
         _, _, _, found = jax.lax.while_loop(
             inner_cond, inner_body, (icont0, jnp.int32(0), b0, found)
         )
-        keys = sbk_ref[:]
-        lane = jax.lax.broadcasted_iota(jnp.int32, keys.shape, 1)
-        keys = jnp.where(lane == s, KEY_MISS, keys)
-        sbk_ref[:] = keys
-        cont = jnp.any(live_keys(keys, found))
-        return cont, found
+        # recheck: continue while the prefetched column OR any remaining
+        # superblock still matters to an unoccluded ray (sn's column alone
+        # would exit early — see _closest_kernel); drain the in-flight
+        # table copy when exiting
+        rem = sbk_ref[:]
+        cont = has_next & (
+            jnp.any((found == 0) & (col_next != KEY_MISS))
+            | jnp.any(live_keys(rem, found))
+        )
 
-    _, found = jax.lax.while_loop(outer_cond, outer_body, (cont0, found0))
+        @pl.when(has_next & ~cont)
+        def _():
+            pltpu.make_async_copy(
+                blk_box_hbm.at[sn], bb_buf.at[1 - sslot], sem2.at[1 - sslot]
+            ).wait()
+
+        return cont, 1 - sslot, sn, found
+
+    _, _, _, found = jax.lax.while_loop(
+        outer_cond, outer_body, (cont0, jnp.int32(0), s0, found0)
+    )
     W = out_hit.shape[1]
     out_hit[:] = jnp.broadcast_to(found, (Rt, W))
 
@@ -387,44 +466,42 @@ def closest_hit_treelets_impl(
     rays, R, Rp = _pack_rays(org, dirn, t_min, t_max, ray_tile)
     Rt = min(ray_tile, Rp)
 
-    call = pl.pallas_call(
+    # ONE kernel with a grid over ray tiles: the program size and compile
+    # time are independent of the ray-batch size, and the runtime pipelines
+    # tile blocks. (Round-2 unrolled one gridless call per tile because
+    # grid + manual DMA wedged the then-current TPU runtime; re-probed via
+    # tools/probe_grid.py — all grid x DMA x while variants now pass.)
+    n_tiles = Rp // Rt
+    out_t, out_id = pl.pallas_call(
         functools.partial(
             _closest_kernel, bits_ns=bits_ns, bits_sb=bits_sb, s_b=s_b
         ),
+        grid=(n_tiles,),
         out_shape=(
-            jax.ShapeDtypeStruct((Rt, 128), jnp.float32),
-            jax.ShapeDtypeStruct((Rt, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Rp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, 128), jnp.int32),
         ),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nsp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rt, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
             pltpu.VMEM((Rt, nsp), jnp.int32),
             pltpu.VMEM((Rt, s_b), jnp.int32),
             pltpu.VMEM((2, 16, c), jnp.float32),  # double-buffered treelet rows
-            pltpu.VMEM((8, s_b), jnp.float32),
+            pltpu.VMEM((2, 8, s_b), jnp.float32),  # double-buffered SB tables
             pltpu.SemaphoreType.DMA((2,)),  # one per treelet slot
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),  # one per SB-table slot
         ],
         interpret=interpret,
-    )
-    # One gridless call per ray tile, unrolled in the traced program: a
-    # multi-step grid combined with in-kernel manual DMA wedges the TPU
-    # runtime (tools/probe_grid.py v1), so tiling lives OUTSIDE the kernel.
-    outs = [
-        call(ts.sb_box, ts.blk_box, rays[i * Rt : (i + 1) * Rt], ts.tri)
-        for i in range(Rp // Rt)
-    ]
-    out_t = jnp.concatenate([t[:, 0] for t, _ in outs], axis=0)
-    out_id = jnp.concatenate([i[:, 0] for _, i in outs], axis=0)
-    return out_t[:R], out_id[:R]
+    )(ts.sb_box, ts.blk_box, rays, ts.tri)
+    return out_t[:R, 0], out_id[:R, 0]
 
 
 @functools.partial(
@@ -442,37 +519,68 @@ def any_hit_treelets_impl(
     rays, R, Rp = _pack_rays(org, dirn, t_min, t_max, ray_tile)
     Rt = min(ray_tile, Rp)
 
-    call = pl.pallas_call(
+    # grid over ray tiles — see closest_hit_treelets_impl
+    n_tiles = Rp // Rt
+    out = pl.pallas_call(
         functools.partial(
             _any_kernel, bits_ns=bits_ns, bits_sb=bits_sb, s_b=s_b
         ),
-        out_shape=jax.ShapeDtypeStruct((Rt, 128), jnp.int32),
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((Rp, 128), jnp.int32),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, nsp), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rt, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
         scratch_shapes=[
             pltpu.VMEM((Rt, nsp), jnp.int32),
             pltpu.VMEM((Rt, s_b), jnp.int32),
             pltpu.VMEM((2, 16, c), jnp.float32),  # double-buffered treelet rows
-            pltpu.VMEM((8, s_b), jnp.float32),
+            pltpu.VMEM((2, 8, s_b), jnp.float32),  # double-buffered SB tables
             pltpu.SemaphoreType.DMA((2,)),  # one per treelet slot
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),  # one per SB-table slot
         ],
         interpret=interpret,
+    )(ts.sb_box, ts.blk_box, rays, ts.tri)
+    return out[:R, 0] > 0
+
+
+def _ray_sort_order(ts: TreeletSet, org, dirn, t_min, t_max, bits_ns):
+    """Permutation grouping rays by (first superblock, entry depth).
+
+    An XLA pre-pass (one [R, NSp] slab test) that makes ray tiles coherent:
+    the kernel's per-tile cost is the UNION of treelets any ray in the tile
+    wants, so incoherent (bounce/shadow) batches pay ~10-20x the per-ray
+    need. Sorting by the superblock whose entry key is minimal (stable, so
+    equal-group rays keep entry-depth order from the first sort) recovers
+    most of the coherent-tile cost. O(R log R) host-free, ~1% of traversal.
+    """
+    lo = ts.sb_box[0:3, :].T  # [NSp, 3]
+    hi = ts.sb_box[3:6, :].T
+    valid = ts.sb_box[6, :] > 0
+    inv = 1.0 / dirn
+    ta = (lo[None, :, :] - org[:, None, :]) * inv[:, None, :]
+    tb = (hi[None, :, :] - org[:, None, :]) * inv[:, None, :]
+    near = jnp.max(jnp.minimum(ta, tb), axis=2)
+    far = jnp.min(jnp.maximum(ta, tb) * 1.001, axis=2)
+    tm = jnp.asarray(t_min, jnp.float32)
+    tM = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (org.shape[0],))
+    hit = valid[None, :] & (
+        jnp.maximum(tm, near) < jnp.minimum(tM[:, None], far)
     )
-    # gridless per-tile calls, unrolled — see closest_hit_treelets_impl
-    out = jnp.concatenate(
-        [
-            call(ts.sb_box, ts.blk_box, rays[i * Rt : (i + 1) * Rt], ts.tri)[:, 0]
-            for i in range(Rp // Rt)
-        ],
-        axis=0,
-    )
-    return out[:R] > 0
+    entry = jnp.maximum(near, 0.0)
+    fb = jax.lax.bitcast_convert_type(entry, jnp.int32)
+    ids = jax.lax.broadcasted_iota(jnp.int32, fb.shape, 1)
+    key = jnp.where(hit, ((fb >> bits_ns) << bits_ns) | ids, KEY_MISS)
+    kmin = jnp.min(key, axis=1)  # packed (entry | first superblock)
+    sid = kmin & ((1 << bits_ns) - 1)
+    by_entry = jnp.argsort(kmin, stable=True)
+    order = by_entry[jnp.argsort(sid[by_entry], stable=True)]
+    return order
 
 
 def _default_interpret() -> bool:
@@ -482,28 +590,65 @@ def _default_interpret() -> bool:
         return True
 
 
+@functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
+def _closest_sorted(ts, org, dirn, t_min, t_max, ray_tile, interpret):
+    bits_ns = _bits(ts.sb_box.shape[1])
+    order = _ray_sort_order(ts, org, dirn, t_min, t_max, bits_ns)
+    tM = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (org.shape[0],))
+    t_s, tri_s = closest_hit_treelets_impl(
+        ts, org[order], dirn[order], t_min, tM[order],
+        ray_tile=ray_tile, interpret=interpret,
+    )
+    t = jnp.zeros_like(t_s).at[order].set(t_s)
+    tri = jnp.zeros_like(tri_s).at[order].set(tri_s)
+    return t, tri
+
+
+@functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
+def _any_sorted(ts, org, dirn, t_min, t_max, ray_tile, interpret):
+    bits_ns = _bits(ts.sb_box.shape[1])
+    order = _ray_sort_order(ts, org, dirn, t_min, t_max, bits_ns)
+    tM = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (org.shape[0],))
+    hit_s = any_hit_treelets_impl(
+        ts, org[order], dirn[order], t_min, tM[order],
+        ray_tile=ray_tile, interpret=interpret,
+    )
+    return jnp.zeros_like(hit_s).at[order].set(hit_s)
+
+
 def closest_hit_treelets(
     scene, org, dirn, t_min=1e-4, t_max=F32_MAX,
     ray_tile: int = DEFAULT_RAY_TILE, interpret: bool = None,
+    sort_rays: bool = True,
 ):
     """Hit record (ops/intersect.Hit) via the Pallas megakernel."""
     from mcpt_tpu.ops.intersect import Hit
 
     if interpret is None:
         interpret = _default_interpret()
-    t, tri = closest_hit_treelets_impl(
-        scene.treelets, org, dirn, t_min, t_max,
-        ray_tile=ray_tile, interpret=interpret,
-    )
+    if sort_rays and org.shape[0] > ray_tile:
+        t, tri = _closest_sorted(
+            scene.treelets, org, dirn, t_min, t_max, ray_tile, interpret
+        )
+    else:
+        t, tri = closest_hit_treelets_impl(
+            scene.treelets, org, dirn, t_min, t_max,
+            ray_tile=ray_tile, interpret=interpret,
+        )
     return Hit(t=t, tri=tri)
 
 
 def any_hit_treelets(
     scene, org, dirn, t_min=1e-4, t_max=F32_MAX,
     ray_tile: int = DEFAULT_RAY_TILE, interpret: bool = None,
+    sort_rays: bool = True,
 ):
     if interpret is None:
         interpret = _default_interpret()
+    if sort_rays and org.shape[0] > ray_tile:
+        return _any_sorted(
+            scene.treelets, org, dirn, t_min, t_max, ray_tile, interpret
+        )
     return any_hit_treelets_impl(
         scene.treelets, org, dirn, t_min, t_max,
         ray_tile=ray_tile, interpret=interpret,
