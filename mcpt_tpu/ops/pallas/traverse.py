@@ -44,10 +44,10 @@ KEY_MISS = np.int32(2**31 - 1)
 F32_MAX = np.float32(np.finfo(np.float32).max)
 ID_MISS = np.int32(2**30)
 
-# 256 measured fastest on v5e (bathroom-stress, 65k rays): larger tiles
-# union more treelets per vote AND the kernel's [Rt, NSp] key temporaries
-# exceed the 16 MB scoped-VMEM stack at 1024 (compile OOM).
-DEFAULT_RAY_TILE = 256
+# 128 measured fastest on v5e for sorted incoherent batches (bathroom-
+# stress): smaller tiles shrink the per-tile treelet union; below 128 the
+# per-visit fixed costs dominate. 1024 exceeds the scoped-VMEM stack.
+DEFAULT_RAY_TILE = 128
 
 
 def _entry_keys(box_ref, o, inv, t_lo, t_hi, bits):
@@ -197,43 +197,74 @@ def _closest_kernel(
         bk0 = _entry_keys(
             bb_buf.at[sslot], o, inv, t_lo, jnp.minimum(t_hi, best_t), bits_sb
         )
-        icont0 = jnp.any(_entry_lb(bk0, bits_sb) < best_t)
-        # prologue: vote + launch the first treelet into slot 0
-        mb0 = jnp.min(jnp.where(_entry_lb(bk0, bits_sb) < best_t, bk0, KEY_MISS))
-        b0 = mb0 & ((1 << bits_sb) - 1)
+        # Pair voting: TWO treelets per inner iteration, DMA'd into the two
+        # lane-halves of one [16, 2C] buffer and intersected as ONE
+        # [Rt, 2C] wave — halves the per-visit fixed cost (votes, scalar
+        # work, loop control), which measured ~40% of a visit. When only
+        # one live treelet remains the second half re-copies the same
+        # treelet: re-testing real triangles is idempotent for closest-hit
+        # and monotone for any-hit, so a duplicate is always safe.
         lane = jax.lax.broadcasted_iota(jnp.int32, bk0.shape, 1)
-        bk_ref[:] = jnp.where(lane == b0, KEY_MISS, bk0)
+
+        def vote2(bk, bound):
+            live1 = _entry_lb(bk, bits_sb) < bound
+            m1 = jnp.min(jnp.where(live1, bk, KEY_MISS))
+            b1 = m1 & ((1 << bits_sb) - 1)
+            bk1 = jnp.where(lane == b1, KEY_MISS, bk)
+            live2 = _entry_lb(bk1, bits_sb) < bound
+            m2 = jnp.min(jnp.where(live2, bk1, KEY_MISS))
+            has2 = m2 != KEY_MISS
+            b2 = jnp.where(has2, m2 & ((1 << bits_sb) - 1), b1)
+            rest = jnp.where(lane == b2, KEY_MISS, bk1)
+            return m1 != KEY_MISS, b1, b2, rest
+
+        def start_pair(slot, ba, bb2):
+            pltpu.make_async_copy(
+                tri_hbm.at[s * s_b + ba],
+                tribuf.at[slot, :, pl.ds(0, tribuf.shape[2] // 2)],
+                sem.at[slot, 0],
+            ).start()
+            pltpu.make_async_copy(
+                tri_hbm.at[s * s_b + bb2],
+                tribuf.at[slot, :, pl.ds(tribuf.shape[2] // 2, tribuf.shape[2] // 2)],
+                sem.at[slot, 1],
+            ).start()
+
+        def wait_pair(slot, ba, bb2):
+            pltpu.make_async_copy(
+                tri_hbm.at[s * s_b + ba],
+                tribuf.at[slot, :, pl.ds(0, tribuf.shape[2] // 2)],
+                sem.at[slot, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                tri_hbm.at[s * s_b + bb2],
+                tribuf.at[slot, :, pl.ds(tribuf.shape[2] // 2, tribuf.shape[2] // 2)],
+                sem.at[slot, 1],
+            ).wait()
+
+        icont0, b0a, b0b, rest0 = vote2(bk0, best_t)
+        bk_ref[:] = rest0
 
         @pl.when(icont0)
         def _():
-            pltpu.make_async_copy(
-                tri_hbm.at[s * s_b + b0], tribuf.at[0], sem.at[0]
-            ).start()
+            start_pair(0, b0a, b0b)
 
         def inner_cond(st):
             return st[0]
 
         def inner_body(st):
-            _, slot, b, best_t, best_id = st
-            # vote + prefetch the NEXT treelet into the other slot
+            _, slot, ba, bb2, best_t, best_id = st
+            # vote + prefetch the NEXT pair into the other slot
             bk = bk_ref[:]
-            nlive = _entry_lb(bk, bits_sb) < best_t
-            has_next = jnp.any(nlive)
-            mbn = jnp.min(jnp.where(nlive, bk, KEY_MISS))
-            bn = mbn & ((1 << bits_sb) - 1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, bk.shape, 1)
-            bk_ref[:] = jnp.where(lane == bn, KEY_MISS, bk)
+            has_next, na, nb, rest = vote2(bk, best_t)
+            bk_ref[:] = rest
 
             @pl.when(has_next)
             def _():
-                pltpu.make_async_copy(
-                    tri_hbm.at[s * s_b + bn], tribuf.at[1 - slot], sem.at[1 - slot]
-                ).start()
+                start_pair(1 - slot, na, nb)
 
-            # drain the current slot's copy, then intersect it
-            pltpu.make_async_copy(
-                tri_hbm.at[s * s_b + b], tribuf.at[slot], sem.at[slot]
-            ).wait()
+            # drain the current slot's copies, then intersect the pair
+            wait_pair(slot, ba, bb2)
             t, u, v, ok, tri_id = _mt_wave(tribuf.at[slot], o, d, t_lo, 1e-5)
             accept = (
                 ok & (t >= t_lo) & (t < t_hi) & (t <= best_t)
@@ -251,11 +282,11 @@ def _closest_kernel(
             better = better & (row_t < F32_MAX)
             best_t = jnp.where(better, row_t, best_t)
             best_id = jnp.where(better, row_id, best_id)
-            return has_next, 1 - slot, bn, best_t, best_id
+            return has_next, 1 - slot, na, nb, best_t, best_id
 
-        _, _, _, best_t, best_id = jax.lax.while_loop(
+        _, _, _, _, best_t, best_id = jax.lax.while_loop(
             inner_cond, inner_body,
-            (icont0, jnp.int32(0), b0, best_t, best_id),
+            (icont0, jnp.int32(0), b0a, b0b, best_t, best_id),
         )
         # no treelet DMA is in flight at inner exit: every prefetch is
         # launched only when has_next, and the following iteration always
@@ -350,41 +381,63 @@ def _any_kernel(
             blk_box_hbm.at[s], bb_buf.at[sslot], sem2.at[sslot]
         ).wait()
         bk0 = _entry_keys(bb_buf.at[sslot], o, inv, t_lo, t_hi, bits_sb)
-        icont0 = jnp.any(live_keys(bk0, found))
-        # double-buffered treelet pipeline (see _closest_kernel)
-        mb0 = jnp.min(jnp.where(live_keys(bk0, found), bk0, KEY_MISS))
-        b0 = mb0 & ((1 << bits_sb) - 1)
+        # pair-voted double-buffered treelet pipeline (see _closest_kernel)
         lane = jax.lax.broadcasted_iota(jnp.int32, bk0.shape, 1)
-        bk_ref[:] = jnp.where(lane == b0, KEY_MISS, bk0)
+
+        def vote2(bk, fnd):
+            live1 = live_keys(bk, fnd)
+            m1 = jnp.min(jnp.where(live1, bk, KEY_MISS))
+            b1 = m1 & ((1 << bits_sb) - 1)
+            bk1 = jnp.where(lane == b1, KEY_MISS, bk)
+            m2 = jnp.min(jnp.where(live_keys(bk1, fnd), bk1, KEY_MISS))
+            has2 = m2 != KEY_MISS
+            b2 = jnp.where(has2, m2 & ((1 << bits_sb) - 1), b1)
+            rest = jnp.where(lane == b2, KEY_MISS, bk1)
+            return m1 != KEY_MISS, b1, b2, rest
+
+        def start_pair(slot, ba, bb2):
+            half = tribuf.shape[2] // 2
+            pltpu.make_async_copy(
+                tri_hbm.at[s * s_b + ba],
+                tribuf.at[slot, :, pl.ds(0, half)], sem.at[slot, 0],
+            ).start()
+            pltpu.make_async_copy(
+                tri_hbm.at[s * s_b + bb2],
+                tribuf.at[slot, :, pl.ds(half, half)], sem.at[slot, 1],
+            ).start()
+
+        def wait_pair(slot, ba, bb2):
+            half = tribuf.shape[2] // 2
+            pltpu.make_async_copy(
+                tri_hbm.at[s * s_b + ba],
+                tribuf.at[slot, :, pl.ds(0, half)], sem.at[slot, 0],
+            ).wait()
+            pltpu.make_async_copy(
+                tri_hbm.at[s * s_b + bb2],
+                tribuf.at[slot, :, pl.ds(half, half)], sem.at[slot, 1],
+            ).wait()
+
+        icont0, b0a, b0b, rest0 = vote2(bk0, found)
+        bk_ref[:] = rest0
 
         @pl.when(icont0)
         def _():
-            pltpu.make_async_copy(
-                tri_hbm.at[s * s_b + b0], tribuf.at[0], sem.at[0]
-            ).start()
+            start_pair(0, b0a, b0b)
 
         def inner_cond(st):
             return st[0]
 
         def inner_body(st):
-            _, slot, b, found = st
+            _, slot, ba, bb2, found = st
             bk = bk_ref[:]
-            nlive = live_keys(bk, found)
-            has_next = jnp.any(nlive)
-            mbn = jnp.min(jnp.where(nlive, bk, KEY_MISS))
-            bn = mbn & ((1 << bits_sb) - 1)
-            lane = jax.lax.broadcasted_iota(jnp.int32, bk.shape, 1)
-            bk_ref[:] = jnp.where(lane == bn, KEY_MISS, bk)
+            has_next, na, nb, rest = vote2(bk, found)
+            bk_ref[:] = rest
 
             @pl.when(has_next)
             def _():
-                pltpu.make_async_copy(
-                    tri_hbm.at[s * s_b + bn], tribuf.at[1 - slot], sem.at[1 - slot]
-                ).start()
+                start_pair(1 - slot, na, nb)
 
-            pltpu.make_async_copy(
-                tri_hbm.at[s * s_b + b], tribuf.at[slot], sem.at[slot]
-            ).wait()
+            wait_pair(slot, ba, bb2)
             # any-hit predicate: inclusive interval, 1e-6 det eps
             # (reference Triangle::isIntersect, src/Triangle.cpp:83-106)
             t, u, v, ok, _ = _mt_wave(tribuf.at[slot], o, d, t_lo, 1e-6)
@@ -393,10 +446,10 @@ def _any_kernel(
                 & (u >= 0) & (u <= 1.0) & (v >= 0) & (u + v <= 1.0)
             )
             found = found | jnp.any(accept, axis=1)[:, None].astype(jnp.int32)
-            return has_next, 1 - slot, bn, found
+            return has_next, 1 - slot, na, nb, found
 
-        _, _, _, found = jax.lax.while_loop(
-            inner_cond, inner_body, (icont0, jnp.int32(0), b0, found)
+        _, _, _, _, found = jax.lax.while_loop(
+            inner_cond, inner_body, (icont0, jnp.int32(0), b0a, b0b, found)
         )
         # recheck: continue while the prefetched column OR any remaining
         # superblock still matters to an unoccluded ray (sn's column alone
@@ -494,9 +547,9 @@ def closest_hit_treelets_impl(
         scratch_shapes=[
             pltpu.VMEM((Rt, nsp), jnp.int32),
             pltpu.VMEM((Rt, s_b), jnp.int32),
-            pltpu.VMEM((2, 16, c), jnp.float32),  # double-buffered treelet rows
+            pltpu.VMEM((2, 16, 2 * c), jnp.float32),  # 2 slots x treelet pair
             pltpu.VMEM((2, 8, s_b), jnp.float32),  # double-buffered SB tables
-            pltpu.SemaphoreType.DMA((2,)),  # one per treelet slot
+            pltpu.SemaphoreType.DMA((2, 2)),  # one per (slot, pair half)
             pltpu.SemaphoreType.DMA((2,)),  # one per SB-table slot
         ],
         interpret=interpret,
@@ -539,9 +592,9 @@ def any_hit_treelets_impl(
         scratch_shapes=[
             pltpu.VMEM((Rt, nsp), jnp.int32),
             pltpu.VMEM((Rt, s_b), jnp.int32),
-            pltpu.VMEM((2, 16, c), jnp.float32),  # double-buffered treelet rows
+            pltpu.VMEM((2, 16, 2 * c), jnp.float32),  # 2 slots x treelet pair
             pltpu.VMEM((2, 8, s_b), jnp.float32),  # double-buffered SB tables
-            pltpu.SemaphoreType.DMA((2,)),  # one per treelet slot
+            pltpu.SemaphoreType.DMA((2, 2)),  # one per (slot, pair half)
             pltpu.SemaphoreType.DMA((2,)),  # one per SB-table slot
         ],
         interpret=interpret,
@@ -577,10 +630,18 @@ def _ray_sort_order(ts: TreeletSet, org, dirn, t_min, t_max, bits_ns):
     ids = jax.lax.broadcasted_iota(jnp.int32, fb.shape, 1)
     key = jnp.where(hit, ((fb >> bits_ns) << bits_ns) | ids, KEY_MISS)
     kmin = jnp.min(key, axis=1)  # packed (entry | first superblock)
+    # ONE argsort on a combined (sid major, entry minor) key: sid in the
+    # high bits, the entry float's top mantissa/exponent bits below (entry
+    # >= 0 so its bits are non-negative and order-preserving). An argsort
+    # costs ~3 ms at 32k rays on v5e — two of them were 25% of traversal.
     sid = kmin & ((1 << bits_ns) - 1)
-    by_entry = jnp.argsort(kmin, stable=True)
-    order = by_entry[jnp.argsort(sid[by_entry], stable=True)]
-    return order
+    shift = 31 - bits_ns
+    combined = jnp.where(
+        kmin == KEY_MISS,
+        jnp.int32(2**31 - 1),
+        (sid << shift) | ((kmin >> bits_ns) >> (32 - shift)),
+    )
+    return jnp.argsort(combined, stable=True)
 
 
 def _default_interpret() -> bool:

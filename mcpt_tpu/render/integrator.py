@@ -541,8 +541,14 @@ def trace_wavefront(
         s = jnp.where(start_new, s + 1, s)
         alive = alive | start_new
 
-        # ---- trace every live lane's pending ray (camera or bounce)
-        hit = closest_hit(scene, o, d, t_min=t_min)
+        # ---- trace every live lane's pending ray (camera or bounce).
+        # Dead lanes (their pixel's samples are exhausted) trace a
+        # guaranteed-miss ray far outside every AABB: with the traversal's
+        # ray sorting they collapse into empty tiles that exit immediately,
+        # instead of dragging stale directions through real treelet visits.
+        o_eff = jnp.where(alive[:, None], o, 1e30)
+        d_eff = jnp.where(alive[:, None], d, 1.0)
+        hit = closest_hit(scene, o_eff, d_eff, t_min=t_min)
         h = expand_hit(tri_table, hit, o, d)
         valid = alive & h.valid
         nrays = nrays + jnp.sum(alive.astype(jnp.int32))
@@ -601,8 +607,12 @@ def trace_wavefront(
                 0.0,
             )
             pdf_l = jnp.where(jnp.isfinite(pdf_l), pdf_l, 0.0)
+            # lanes not shading this bounce get t_max = 0 (< t_min): the
+            # traversal prunes them to zero visits instead of tracing a
+            # stale shadow ray
+            dist_eff = jnp.where(at_vertex, dist, 0.0)
             occluded = any_hit(
-                scene, h.point, wl, t_min=t_min, t_max=dist * (1.0 - 1e-3)
+                scene, h.point, wl, t_min=t_min, t_max=dist_eff * (1.0 - 1e-3)
             )
             wl_local = to_local(onb, wl)
             bp = bsdf_pdf(lobes, wo_local, wl_local)

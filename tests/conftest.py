@@ -19,7 +19,11 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# MCPT_TEST_TPU=1 keeps the default (TPU) backend so tests/test_tpu_hw.py
+# can smoke-test compiled Pallas kernels on real hardware; everything else
+# runs on the virtual CPU mesh either way (kernels fall back to interpret).
+if os.environ.get("MCPT_TEST_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/mcpt_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
