@@ -151,17 +151,25 @@ def bench_inverse(steps_measure=25, steps_full=500, res=256, spp=4):
 
 
 # The five BASELINE.json configs ("configs" list; see BASELINE.md).
+# quick_spp: spp actually measured under --quick (throughput is
+# steady-state per-pass, so Mrays/s is unaffected; time-to-image
+# extrapolates linearly). Bathroom gets the smallest sample because its
+# per-ray cost is ~100x cornell's (1M tris through the treelet kernel).
+# Bathroom runs LAST: it is the config most likely to trip the runtime's
+# per-execution wall-clock limit (the "worker crashed" failure mode), and a
+# dead backend would take every config after it down too. The headline
+# metric line is re-printed after the loop either way.
 SUITE = [
     dict(name="cornell-512-16", scene="scenes/cornell-box.obj",
-         width=512, height=512, spp=16, bounces=4),
+         width=512, height=512, spp=16, bounces=4, quick_spp=16),
     dict(name="veach-mis-1024-128", scene="scenes/veach-mis.obj",
-         width=1024, height=1024, spp=128, bounces=24),
-    dict(name="bathroom-1280x720-256", scene="scenes/bathroom-stress.obj",
-         width=1280, height=720, spp=256, bounces=24),
+         width=1024, height=1024, spp=128, bounces=24, quick_spp=16),
     dict(name="inverse-500", inverse=True),
-    # headline LAST so the driver's last-line parse still sees it
     dict(name="cornell-1024-64", scene="scenes/cornell-box.obj",
-         width=1024, height=1024, spp=64, bounces=24, headline=True),
+         width=1024, height=1024, spp=64, bounces=24, quick_spp=8,
+         headline=True),
+    dict(name="bathroom-1280x720-256", scene="scenes/bathroom-stress.obj",
+         width=1280, height=720, spp=256, bounces=24, quick_spp=8),
 ]
 
 
@@ -207,7 +215,7 @@ def main():
             else:
                 spp_measure = None
                 if args.quick:
-                    spp_measure = max(8, cfg["spp"] // 8)
+                    spp_measure = cfg.get("quick_spp", max(8, cfg["spp"] // 8))
                 res = bench_render(
                     cfg["scene"], cfg["width"], cfg["height"], cfg["spp"],
                     cfg["bounces"], spp_measure=spp_measure,

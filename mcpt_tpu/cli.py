@@ -191,6 +191,9 @@ def cmd_inverse(args) -> int:
         scene, target, guess, steps=args.steps, spp=args.spp,
         max_bounces=args.bounces, learning_rate=args.lr, seed=args.seed,
         progress=progress,
+        checkpoint_path=args.checkpoint or "inverse.ckpt.npz",
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
     )
     out = args.out or "inverse_params.npz"
     np.savez(out, kd=np.asarray(params.kd), ks=np.asarray(params.ks),
@@ -247,6 +250,13 @@ def main(argv=None) -> int:
     pi.add_argument("--steps", type=int, default=500)
     pi.add_argument("--lr", type=float, default=2e-2)
     pi.add_argument("--out", default=None, help="output params .npz")
+    pi.add_argument("--checkpoint", default=None,
+                    help="optimizer-state checkpoint path (.npz, default "
+                         "inverse.ckpt.npz)")
+    pi.add_argument("--checkpoint-every", type=int, default=0,
+                    help="write the full Adam state every N steps")
+    pi.add_argument("--resume", default=None,
+                    help="resume from an optimizer-state checkpoint")
     pi.set_defaults(fn=cmd_inverse, spp=4, bounces=6)
 
     pn = sub.add_parser("info", help="print scene statistics")

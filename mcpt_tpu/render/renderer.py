@@ -73,6 +73,73 @@ render_pass = partial(jax.jit, static_argnames=("max_bounces", "spp_per_pass"),
                       donate_argnames=("film",))(render_pass_impl)
 
 
+# Pixel lanes per device execution for the host-chunked pass. Bounds the
+# WALL-CLOCK of one XLA execution, not just memory: TPU runtimes enforce a
+# per-execution time limit (measured here: a 53 s program runs, a ~107 s
+# program kills the worker with "TPU worker process crashed or restarted" —
+# the failure rounds 1-2 misread as kernel faults). One 32k-lane chunk at
+# high bounce counts stays O(seconds); the counter-based per-(pixel,
+# sample) RNG makes the result bitwise independent of the chunking.
+HOST_CHUNK_LANES = 32768
+
+
+@partial(jax.jit, static_argnames=("max_bounces", "spp_per_pass"))
+def _render_chunk(scene, pidx, lane_valid, key, start_idx, max_bounces,
+                  spp_per_pass):
+    from mcpt_tpu.render.integrator import trace_wavefront
+
+    return trace_wavefront(
+        scene, scene.camera, key, pidx, start_idx, spp_per_pass, max_bounces,
+        lane_valid=lane_valid,
+    )
+
+
+@partial(jax.jit, donate_argnames=("film",), static_argnames=("spp_per_pass",))
+def _film_update(film, radiance, nrays, nan_ct, spp_per_pass):
+    H, W, _ = film.accum.shape
+    img = radiance.reshape(H, W, 3)
+    return Film(
+        accum=film.accum + img,
+        spp=film.spp + spp_per_pass,
+        nan_count=film.nan_count + nan_ct,
+        rays=film.rays + nrays.astype(jnp.float32),
+    )
+
+
+def render_pass_chunked(scene, film, key, start_idx, max_bounces,
+                        spp_per_pass, chunk=HOST_CHUNK_LANES):
+    """One pass as MANY bounded device executions (one per pixel chunk).
+
+    Bitwise-identical to render_pass (chunk-invariant RNG, tested in
+    tests/test_parallel.py); required whenever a single-program pass could
+    exceed the runtime's per-execution wall-clock limit (large images x
+    heavy scenes). The chunk program compiles once and is re-executed.
+    """
+    cam = scene.camera
+    R = cam.width * cam.height
+    n_chunks = -(-R // chunk)
+    Rp = n_chunks * chunk
+    pidx = jnp.concatenate(
+        [jnp.arange(R, dtype=jnp.int32), jnp.zeros((Rp - R,), jnp.int32)]
+    )
+    lane_valid = jnp.arange(Rp) < R
+    parts, nrays, nan_ct = [], jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
+    for i in range(n_chunks):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        L, nr, nc = _render_chunk(
+            scene, pidx[sl], lane_valid[sl], key, start_idx, max_bounces,
+            spp_per_pass,
+        )
+        # host readback of a scalar bounds in-flight executions to one
+        # (and is the reliable device sync through the remote-TPU relay)
+        nrays = nrays + nr
+        nan_ct = nan_ct + nc
+        float(nr)
+        parts.append(L)
+    radiance = jnp.concatenate(parts, axis=0)[:R]
+    return _film_update(film, radiance, nrays, nan_ct, spp_per_pass)
+
+
 class Renderer:
     """Progressive renderer: build once, call `step()` repeatedly.
 
@@ -100,14 +167,27 @@ class Renderer:
     def step(self) -> Film:
         """Render one pass (spp_per_pass samples/pixel). Returns the film."""
         t0 = time.perf_counter()
-        self.film = render_pass(
-            self.scene,
-            self.film,
-            self.key,
-            jnp.asarray(self.sample_idx, jnp.int32),
-            self.config.max_bounces,
-            self.config.spp_per_pass,
-        )
+        R = self.scene.camera.width * self.scene.camera.height
+        if R > HOST_CHUNK_LANES:
+            # many bounded executions (see render_pass_chunked: the TPU
+            # runtime kills single executions past a wall-clock limit)
+            self.film = render_pass_chunked(
+                self.scene,
+                self.film,
+                self.key,
+                jnp.asarray(self.sample_idx, jnp.int32),
+                self.config.max_bounces,
+                self.config.spp_per_pass,
+            )
+        else:
+            self.film = render_pass(
+                self.scene,
+                self.film,
+                self.key,
+                jnp.asarray(self.sample_idx, jnp.int32),
+                self.config.max_bounces,
+                self.config.spp_per_pass,
+            )
         # host readback of a scalar = true device sync (block_until_ready is
         # unreliable through the remote-TPU relay)
         float(self.film.spp)

@@ -186,3 +186,25 @@ def _load_bathroom():
         _os.path.dirname(__file__), "..", "scenes", "bathroom-stress.obj"
     )
     return load_scene(path, with_bvh=True)
+
+
+def test_host_chunked_pass_matches_single_program(cornell_scene):
+    """render_pass_chunked (many bounded device executions) must be bitwise
+    equal to the single-program pass: the counter-based per-(pixel, sample)
+    RNG makes the result independent of the chunking."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from mcpt_tpu.render.film import make_film
+    from mcpt_tpu.render.renderer import render_pass, render_pass_chunked
+
+    cam = dc.replace(cornell_scene.camera, width=16, height=12)
+    scene = dc.replace(cornell_scene, camera=cam)
+    key = jax.random.PRNGKey(5)
+    start = jnp.asarray(0, jnp.int32)
+    a = render_pass(scene, make_film(12, 16), key, start, 4, 2)
+    b = render_pass_chunked(scene, make_film(12, 16), key, start, 4, 2, chunk=64)
+    np.testing.assert_array_equal(np.asarray(a.accum), np.asarray(b.accum))
+    assert float(a.rays) == float(b.rays)
+    assert int(a.nan_count) == int(b.nan_count)
