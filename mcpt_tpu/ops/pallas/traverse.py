@@ -523,7 +523,7 @@ def closest_hit_treelets_impl(
     # time are independent of the ray-batch size, and the runtime pipelines
     # tile blocks. (Round-2 unrolled one gridless call per tile because
     # grid + manual DMA wedged the then-current TPU runtime; re-probed via
-    # tools/probe_grid.py — all grid x DMA x while variants now pass.)
+    # a grid x DMA x while probe — all variants now pass.)
     n_tiles = Rp // Rt
     out_t, out_id = pl.pallas_call(
         functools.partial(

@@ -130,11 +130,12 @@ def render_pass_chunked(scene, film, key, start_idx, max_bounces,
             scene, pidx[sl], lane_valid[sl], key, start_idx, max_bounces,
             spp_per_pass,
         )
-        # host readback of a scalar bounds in-flight executions to one
-        # (and is the reliable device sync through the remote-TPU relay)
+        # NO per-chunk host sync: executions queue on the device (each one
+        # individually bounded, which is all the wall-clock limit cares
+        # about), and a readback here would serialize n_chunks round trips
+        # through the remote-TPU relay (~3x slowdown measured at 32 chunks)
         nrays = nrays + nr
         nan_ct = nan_ct + nc
-        float(nr)
         parts.append(L)
     radiance = jnp.concatenate(parts, axis=0)[:R]
     return _film_update(film, radiance, nrays, nan_ct, spp_per_pass)
