@@ -398,8 +398,14 @@ BRUTE_FORCE_MAX_TRIS = 4096
 
 import os as _os
 
-# Dense-path algorithm: "woop" (MXU matmul, default) or "mt" (direct
-# Moller-Trumbore on the VPU). Same accept predicate either way.
+# Dense-path algorithm: "woop" (XLA MXU matmul path — the default),
+# "mt" (direct XLA Moller-Trumbore on the VPU), or "pallas" (the VMEM
+# Moller-Trumbore kernel in ops/pallas/dense.py — EXPERIMENTAL: it avoids
+# the XLA path's R x 6T HBM materialization, but measured e2e it only
+# matches Woop on veach-mis (both ~6.5 Mrays/s) and collapses cornell-box
+# from 146 to 7 Mrays/s, because a 32-triangle scene pads a 512-lane wave
+# to 94% waste while XLA fuses the tiny intersection into the integrator).
+# Same accept predicate in every case.
 DENSE_ALGO = _os.environ.get("MCPT_INTERSECT", "woop")
 
 
@@ -423,10 +429,22 @@ def _use_treelets(scene) -> bool:
         return False
 
 
+def _use_dense_pallas() -> bool:
+    """Opt-in (MCPT_INTERSECT=pallas) dense path on real TPUs — see the
+    DENSE_ALGO note above for why it is not the default."""
+    if DENSE_ALGO != "pallas":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 def closest_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
-    """Dispatch: dense intersect-all for small scenes; for large ones the
-    Pallas treelet megakernel on TPU (ops/pallas/traverse), the XLA
-    block-wave (ops/blocks) on CPU meshes, skip-link BVH walk as fallback."""
+    """Dispatch: dense intersect-all for small scenes (Pallas VMEM kernel
+    on TPU, XLA Woop elsewhere); for large ones the Pallas treelet
+    megakernel on TPU (ops/pallas/traverse), the XLA block-wave
+    (ops/blocks) on CPU meshes, skip-link BVH walk as fallback."""
     if scene.num_tris > BRUTE_FORCE_MAX_TRIS:
         if _use_treelets(scene):
             from mcpt_tpu.ops.pallas.traverse import closest_hit_treelets
@@ -440,9 +458,13 @@ def closest_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
             from mcpt_tpu.ops.traverse import closest_hit_bvh
 
             return closest_hit_bvh(scene, org, dirn, t_min, t_max)
-    if DENSE_ALGO == "woop":
-        return closest_hit_woop(scene, org, dirn, t_min, t_max)
-    return closest_hit_bruteforce(scene, org, dirn, t_min, t_max)
+    if _use_dense_pallas():
+        from mcpt_tpu.ops.pallas.dense import closest_hit_dense
+
+        return closest_hit_dense(scene, org, dirn, t_min, t_max)
+    if DENSE_ALGO == "mt":
+        return closest_hit_bruteforce(scene, org, dirn, t_min, t_max)
+    return closest_hit_woop(scene, org, dirn, t_min, t_max)
 
 
 def any_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> jnp.ndarray:
@@ -459,6 +481,10 @@ def any_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> jnp.ndarray:
             from mcpt_tpu.ops.traverse import any_hit_bvh
 
             return any_hit_bvh(scene, org, dirn, t_min, t_max)
-    if DENSE_ALGO == "woop":
-        return any_hit_woop(scene, org, dirn, t_min, t_max)
-    return any_hit_bruteforce(scene, org, dirn, t_min, t_max)
+    if _use_dense_pallas():
+        from mcpt_tpu.ops.pallas.dense import any_hit_dense
+
+        return any_hit_dense(scene, org, dirn, t_min, t_max)
+    if DENSE_ALGO == "mt":
+        return any_hit_bruteforce(scene, org, dirn, t_min, t_max)
+    return any_hit_woop(scene, org, dirn, t_min, t_max)

@@ -97,3 +97,33 @@ def test_cull_kernel_ray_padding(rng):
         bs.lo, bs.hi, org, inv_d, t_lo, t_hi, last_key, 8, bits, interpret=True
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_dense_kernel_interpret_matches_bruteforce():
+    """ops/pallas/dense in interpret mode vs the XLA brute force."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from mcpt_tpu.ops.intersect import closest_hit_bruteforce
+    from mcpt_tpu.ops.pallas.dense import closest_hit_dense
+    from mcpt_tpu.scene import Geometry, Scene
+
+    T, R = 700, 96
+    rng = np.random.default_rng(3)
+    v0 = rng.uniform(-4, 4, (T, 3)).astype(np.float32)
+    e1 = (rng.normal(size=(T, 3)) * 0.5).astype(np.float32)
+    e2 = (rng.normal(size=(T, 3)) * 0.5).astype(np.float32)
+    g = Geometry(
+        v0=jnp.asarray(v0), e1=jnp.asarray(e1), e2=jnp.asarray(e2),
+        vn=jnp.zeros((T, 3, 3), jnp.float32),
+        uv=jnp.zeros((T, 3, 2), jnp.float32),
+        mat_id=jnp.zeros((T,), jnp.int32), area=jnp.ones((T,), jnp.float32),
+    )
+    scene = Scene(geom=g, mats=None, atlas=None, light_tris=None, camera=None)
+    o = jnp.asarray(rng.uniform(-5, 5, (R, 3)), np.float32)
+    d = rng.normal(size=(R, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True), np.float32)
+    ref = closest_hit_bruteforce(scene, o, d)
+    got = closest_hit_dense(scene, o, d, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))

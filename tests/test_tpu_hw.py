@@ -80,3 +80,21 @@ def test_any_kernel_compiles_and_matches_bruteforce(soup):
     ref = any_hit_bruteforce(_dense_scene(v0, e1, e2), o, d, t_max=t_max)
     got = any_hit_treelets(_FakeScene(ts), o, d, t_max=t_max, interpret=False)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@requires_tpu
+def test_dense_kernel_compiles_and_matches_bruteforce(soup):
+    from mcpt_tpu.ops.intersect import (
+        any_hit_bruteforce,
+        closest_hit_bruteforce,
+    )
+    from mcpt_tpu.ops.pallas.dense import any_hit_dense, closest_hit_dense
+
+    ts, v0, e1, e2, o, d = soup
+    scene = _dense_scene(v0, e1, e2)
+    ref = closest_hit_bruteforce(scene, o, d)
+    got = closest_hit_dense(scene, o, d)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+    ra = any_hit_bruteforce(scene, o, d, t_max=jnp.float32(6.0))
+    ga = any_hit_dense(scene, o, d, t_max=jnp.float32(6.0))
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(ra))
