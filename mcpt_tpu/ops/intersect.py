@@ -36,22 +36,29 @@ DEFAULT_CHUNK = 512
 class Hit:
     """Closest-hit record for a ray batch. tri == -1 means miss.
 
-    Deliberately carries only (t, tri): barycentrics are recomputed at
-    shading time from the gathered triangle row (integrator.expand_hit).
-    Selecting per-ray u/v out of the [R, C] candidate wave needs dynamic
-    row gathers, which break XLA fusion on TPU and cost ~60x the fully
-    fused intersection kernel; two extra min-reductions don't.
+    The dense XLA paths carry only (t, tri): barycentrics are recomputed
+    at shading time from the gathered triangle row (integrator.expand_hit)
+    because selecting per-ray u/v out of the [R, C] candidate wave needs
+    dynamic row gathers, which break XLA fusion on TPU and cost ~60x the
+    fully fused intersection kernel. The Pallas treelet traversal instead
+    SELECTS the winner's u/v in-kernel (mask + reduction, ~+10%/visit) and
+    returns them, which lets the integrator skip gathering v0/e1/e2 per
+    hit — on a 1M-triangle scene that gather costs as much as traversal.
     """
 
     t: jnp.ndarray  # f32[R]
     tri: jnp.ndarray  # i32[R]
+    u: jnp.ndarray = None  # f32[R] barycentric, treelet path only
+    v: jnp.ndarray = None  # f32[R]
 
     @property
     def valid(self) -> jnp.ndarray:
         return self.tri >= 0
 
 
-jax.tree_util.register_dataclass(Hit, data_fields=["t", "tri"], meta_fields=[])
+jax.tree_util.register_dataclass(
+    Hit, data_fields=["t", "tri", "u", "v"], meta_fields=[]
+)
 
 _IDX_BIG = jnp.int32(2**30)
 

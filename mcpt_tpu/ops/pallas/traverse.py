@@ -122,7 +122,7 @@ def _mt_wave(tribuf, o, d, t_lo, det_eps):
 
 
 def _closest_kernel(
-    sb_box, blk_box_hbm, ray_ref, tri_hbm, out_t, out_id,
+    sb_box, blk_box_hbm, ray_ref, tri_hbm, out_t, out_id, out_uv,
     sbk_ref, bk_ref, tribuf, bb_buf, sem, sem2, *, bits_ns, bits_sb, s_b,
 ):
     rays = ray_ref[:]
@@ -171,7 +171,7 @@ def _closest_kernel(
         return st[0]
 
     def outer_body(st):
-        _, sslot, s, best_t, best_id = st
+        _, sslot, s, best_t, best_id, best_u, best_v = st
         # vote + prefetch the NEXT superblock under this one's inner loop
         keys = sbk_ref[:]
         live = _entry_lb(keys, bits_ns) < best_t
@@ -253,7 +253,7 @@ def _closest_kernel(
             return st[0]
 
         def inner_body(st):
-            _, slot, ba, bb2, best_t, best_id = st
+            _, slot, ba, bb2, best_t, best_id, best_u, best_v = st
             # vote + prefetch the NEXT pair into the other slot
             bk = bk_ref[:]
             has_next, na, nb, rest = vote2(bk, best_t)
@@ -275,6 +275,15 @@ def _closest_kernel(
             row_id = jnp.min(
                 jnp.where(t_cand <= row_t, tri_id, ID_MISS), axis=1
             )[:, None]
+            # winner's barycentrics, selected by the unique (min-t,
+            # lowest-id) column: shipping u,v out of the kernel lets the
+            # integrator skip gathering v0/e1/e2 per hit (the [T,36]
+            # shading gather was ~as expensive as traversal at 1M tris).
+            # max over the mask handles the duplicated-treelet tail pair
+            # (identical columns carry bitwise-identical u,v).
+            msel = (t_cand <= row_t) & (tri_id == row_id)
+            row_u = jnp.max(jnp.where(msel, u, -F32_MAX), axis=1)[:, None]
+            row_v = jnp.max(jnp.where(msel, v, -F32_MAX), axis=1)[:, None]
             # lowest-tri-id tie break (ops/intersect._min_and_first_index).
             # row_t == F32_MAX is the no-accept sentinel and must never tie
             # against best_t's init value (t_hi can be F32_MAX).
@@ -282,11 +291,14 @@ def _closest_kernel(
             better = better & (row_t < F32_MAX)
             best_t = jnp.where(better, row_t, best_t)
             best_id = jnp.where(better, row_id, best_id)
-            return has_next, 1 - slot, na, nb, best_t, best_id
+            best_u = jnp.where(better, row_u, best_u)
+            best_v = jnp.where(better, row_v, best_v)
+            return has_next, 1 - slot, na, nb, best_t, best_id, best_u, best_v
 
-        _, _, _, _, best_t, best_id = jax.lax.while_loop(
+        _, _, _, _, best_t, best_id, best_u, best_v = jax.lax.while_loop(
             inner_cond, inner_body,
-            (icont0, jnp.int32(0), b0a, b0b, best_t, best_id),
+            (icont0, jnp.int32(0), b0a, b0b, best_t, best_id,
+             best_u, best_v),
         )
         # no treelet DMA is in flight at inner exit: every prefetch is
         # launched only when has_next, and the following iteration always
@@ -308,17 +320,24 @@ def _closest_kernel(
                 blk_box_hbm.at[sn], bb_buf.at[1 - sslot], sem2.at[1 - sslot]
             ).wait()
 
-        return cont, 1 - sslot, sn, best_t, best_id
+        return cont, 1 - sslot, sn, best_t, best_id, best_u, best_v
 
     best_t = t_hi
     best_id = jnp.full((Rt, 1), ID_MISS, jnp.int32)
-    _, _, _, best_t, best_id = jax.lax.while_loop(
-        outer_cond, outer_body, (cont0, jnp.int32(0), s0, best_t, best_id)
+    zero_uv = jnp.zeros((Rt, 1), jnp.float32)
+    _, _, _, best_t, best_id, best_u, best_v = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (cont0, jnp.int32(0), s0, best_t, best_id, zero_uv, zero_uv),
     )
     hit = best_id < ID_MISS
     W = out_t.shape[1]
     out_t[:] = jnp.broadcast_to(jnp.where(hit, best_t, F32_MAX), (Rt, W))
     out_id[:] = jnp.broadcast_to(jnp.where(hit, best_id, -1), (Rt, W))
+    # u in column 0's half, v in the upper half (one [Rt, W] output)
+    col = jax.lax.broadcasted_iota(jnp.int32, (Rt, W), 1)
+    u_b = jnp.broadcast_to(jnp.where(hit, best_u, 0.0), (Rt, W))
+    v_b = jnp.broadcast_to(jnp.where(hit, best_v, 0.0), (Rt, W))
+    out_uv[:] = jnp.where(col < W // 2, u_b, v_b)
 
 
 def _any_kernel(
@@ -525,7 +544,7 @@ def closest_hit_treelets_impl(
     # grid + manual DMA wedged the then-current TPU runtime; re-probed via
     # a grid x DMA x while probe — all variants now pass.)
     n_tiles = Rp // Rt
-    out_t, out_id = pl.pallas_call(
+    out_t, out_id, out_uv = pl.pallas_call(
         functools.partial(
             _closest_kernel, bits_ns=bits_ns, bits_sb=bits_sb, s_b=s_b
         ),
@@ -533,6 +552,7 @@ def closest_hit_treelets_impl(
         out_shape=(
             jax.ShapeDtypeStruct((Rp, 128), jnp.float32),
             jax.ShapeDtypeStruct((Rp, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Rp, 128), jnp.float32),
         ),
         in_specs=[
             pl.BlockSpec((8, nsp), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -541,6 +561,7 @@ def closest_hit_treelets_impl(
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
+            pl.BlockSpec((Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ),
@@ -554,7 +575,7 @@ def closest_hit_treelets_impl(
         ],
         interpret=interpret,
     )(ts.sb_box, ts.blk_box, rays, ts.tri)
-    return out_t[:R, 0], out_id[:R, 0]
+    return out_t[:R, 0], out_id[:R, 0], out_uv[:R, 0], out_uv[:R, 64]
 
 
 @functools.partial(
@@ -656,13 +677,15 @@ def _closest_sorted(ts, org, dirn, t_min, t_max, ray_tile, interpret):
     bits_ns = _bits(ts.sb_box.shape[1])
     order = _ray_sort_order(ts, org, dirn, t_min, t_max, bits_ns)
     tM = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (org.shape[0],))
-    t_s, tri_s = closest_hit_treelets_impl(
+    t_s, tri_s, u_s, v_s = closest_hit_treelets_impl(
         ts, org[order], dirn[order], t_min, tM[order],
         ray_tile=ray_tile, interpret=interpret,
     )
     t = jnp.zeros_like(t_s).at[order].set(t_s)
     tri = jnp.zeros_like(tri_s).at[order].set(tri_s)
-    return t, tri
+    u = jnp.zeros_like(u_s).at[order].set(u_s)
+    v = jnp.zeros_like(v_s).at[order].set(v_s)
+    return t, tri, u, v
 
 
 @functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
@@ -688,15 +711,15 @@ def closest_hit_treelets(
     if interpret is None:
         interpret = _default_interpret()
     if sort_rays and org.shape[0] > ray_tile:
-        t, tri = _closest_sorted(
+        t, tri, u, v = _closest_sorted(
             scene.treelets, org, dirn, t_min, t_max, ray_tile, interpret
         )
     else:
-        t, tri = closest_hit_treelets_impl(
+        t, tri, u, v = closest_hit_treelets_impl(
             scene.treelets, org, dirn, t_min, t_max,
             ray_tile=ray_tile, interpret=interpret,
         )
-    return Hit(t=t, tri=tri)
+    return Hit(t=t, tri=tri, u=u, v=v)
 
 
 def any_hit_treelets(

@@ -143,6 +143,102 @@ jax.tree_util.register_dataclass(
 )
 
 
+def pack_shade_table(scene: Scene) -> jnp.ndarray:
+    """Slim per-triangle shading rows for the treelet path: the traversal
+    kernel already returns (t, u, v), so only vn(0:9) uv(9:15) area(15)
+    mat_id(16) need gathering per hit — 17 columns instead of 36 (the XLA
+    gather is ~15 ns/element on the scalar core; at 1M triangles the full
+    row gather cost as much as traversal itself)."""
+    g = scene.geom
+    T = g.v0.shape[0]
+    return jnp.concatenate(
+        [
+            g.vn.reshape(T, 9),
+            g.uv.reshape(T, 6),
+            g.area[:, None],
+            g.mat_id[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def pack_mat_table(scene: Scene) -> jnp.ndarray:
+    """Per-MATERIAL rows kd(0:3) ks(3:6) ns(6) radiance(7:10) tex_id(10);
+    M is small, so the one-hot MXU gather applies."""
+    m = scene.mats
+    return jnp.concatenate(
+        [
+            m.kd, m.ks, m.ns[:, None], m.radiance,
+            m.tex_id[:, None].astype(jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+def _use_slim_expand(scene: Scene) -> bool:
+    """Static: true when closest_hit dispatches to the treelet kernel
+    (which returns u/v), so the slim 17-column expansion applies."""
+    from mcpt_tpu.ops.intersect import BRUTE_FORCE_MAX_TRIS, _use_treelets
+
+    return scene.num_tris > BRUTE_FORCE_MAX_TRIS and _use_treelets(scene)
+
+
+def expand_hit_uv(
+    shade_table: jnp.ndarray,
+    mat_table: jnp.ndarray,
+    hit: Hit,
+    org: jnp.ndarray,
+    dirn: jnp.ndarray,
+) -> HitData:
+    """Hit (with kernel-computed u/v) -> HitData via the slim tables.
+
+    point = org + t*dirn instead of the reference's barycentric
+    interpolation (Triangle.cpp:68) — algebraically identical, differs
+    only in f32 rounding; the relative secondary-ray t_min absorbs it.
+    NOTE: on this path hit geometry is not differentiable w.r.t. vertex
+    positions (t/u/v come from the non-differentiable kernel); the
+    dverts gradient path uses the dense expansion (small scenes).
+    """
+    rows = gather_rows(shade_table, jnp.maximum(hit.tri, 0))
+    u = hit.u[:, None]
+    v = hit.v[:, None]
+    w = 1.0 - u - v
+    vn = rows[:, 0:9].reshape(-1, 3, 3)
+    uvs = rows[:, 9:15].reshape(-1, 3, 2)
+    t_safe = jnp.where(hit.valid, hit.t, 0.0)
+    point = org + t_safe[:, None] * dirn
+    n = normalize(w * vn[:, 0] + u * vn[:, 1] + v * vn[:, 2])
+    uv = w * uvs[:, 0] + u * uvs[:, 1] + v * uvs[:, 2]
+    mat = rows[:, 16].astype(jnp.int32)
+    mrows = gather_rows(mat_table, mat)
+    return HitData(
+        point=point,
+        normal=n,
+        uv=uv,
+        front=dot(n, dirn) < 0,
+        area=rows[:, 15],
+        kd=mrows[:, 0:3],
+        ks=mrows[:, 3:6],
+        ns=mrows[:, 6],
+        radiance=mrows[:, 7:10],
+        tex_id=mrows[:, 10].astype(jnp.int32),
+        valid=hit.valid,
+    )
+
+
+def make_expander(scene: Scene):
+    """Returns expand(hit, org, dirn) bound to the right tables for this
+    scene's dispatch path (built ONCE per trace, outside the bounce loop)."""
+    if _use_slim_expand(scene):
+        shade_table = pack_shade_table(scene)
+        mat_table = pack_mat_table(scene)
+        return lambda hit, org, dirn: expand_hit_uv(
+            shade_table, mat_table, hit, org, dirn
+        )
+    tri_table = pack_tri_table(scene)
+    return lambda hit, org, dirn: expand_hit(tri_table, hit, org, dirn)
+
+
 def expand_hit(
     tri_table: jnp.ndarray, hit: Hit, org: jnp.ndarray, dirn: jnp.ndarray
 ) -> HitData:
@@ -245,11 +341,11 @@ def trace_paths(
     R = org.shape[0]
     t_min = RAY_EPS_REL * scene.scale
     n_lights = scene.num_lights
-    tri_table = pack_tri_table(scene)
+    expand = make_expander(scene)
     light_table = pack_light_table(scene) if n_lights > 0 else None
 
     hit = closest_hit(scene, org, dirn, t_min=t_min)
-    h = expand_hit(tri_table, hit, org, dirn)
+    h = expand(hit, org, dirn)
 
     # bounce-0 direct emission (Render.cpp:121-122)
     emis0 = jnp.sqrt(jnp.sum(h.radiance * h.radiance, axis=-1)) > EMIT_DIRECT_THRESH
@@ -344,7 +440,7 @@ def trace_paths(
 
         # ---------------- look-ahead trace (Render.cpp:142-162) -------------
         nxt = closest_hit(scene, sg(h.point), wi_world, t_min=t_min)
-        hn = expand_hit(tri_table, nxt, sg(h.point), wi_world)
+        hn = expand(nxt, sg(h.point), wi_world)
         emis_n = jnp.sqrt(jnp.sum(hn.radiance**2, axis=-1)) > 0.0  # truthiness
         hit_light = active & hn.valid & emis_n & hn.front
 
@@ -481,7 +577,7 @@ def trace_wavefront(
     R = pixel_idx.shape[0]
     t_min = RAY_EPS_REL * scene.scale
     n_lights = scene.num_lights
-    tri_table = pack_tri_table(scene)
+    expand = make_expander(scene)
     light_table = pack_light_table(scene) if n_lights > 0 else None
     pix_u32 = pixel_idx.astype(jnp.uint32)
     start_u32 = jnp.asarray(start_idx, jnp.uint32)
@@ -549,7 +645,7 @@ def trace_wavefront(
         o_eff = jnp.where(alive[:, None], o, 1e30)
         d_eff = jnp.where(alive[:, None], d, 1.0)
         hit = closest_hit(scene, o_eff, d_eff, t_min=t_min)
-        h = expand_hit(tri_table, hit, o, d)
+        h = expand(hit, o, d)
         valid = alive & h.valid
         nrays = nrays + jnp.sum(alive.astype(jnp.int32))
 

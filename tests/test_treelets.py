@@ -168,3 +168,80 @@ def test_ragged_ray_count_padding():
     ref = closest_hit_bruteforce(dense, org, dirn)
     got = closest_hit_treelets(fake, org, dirn, ray_tile=64, interpret=True)
     assert (np.asarray(ref.tri) == np.asarray(got.tri)).mean() > 0.99
+
+
+def test_slim_expand_matches_dense_expand(cornell_scene_bvh):
+    """expand_hit_uv (kernel u/v + 17-col table) must reproduce
+    expand_hit (36-col table + barycentric recompute) on real hits."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mcpt_tpu.ops.bvh import build_bvh_arrays
+    from mcpt_tpu.ops.pallas.traverse import closest_hit_treelets
+    from mcpt_tpu.ops.treelets import build_treelets
+    from mcpt_tpu.render.camera import generate_rays
+    from mcpt_tpu.render.integrator import (
+        expand_hit,
+        expand_hit_uv,
+        pack_mat_table,
+        pack_shade_table,
+        pack_tri_table,
+    )
+    from mcpt_tpu.utils.rng import per_ray_keys, ray_uniforms
+
+    scene = cornell_scene_bvh
+    if scene.treelets is None:
+        g = scene.geom
+        nodes = {
+            k: np.asarray(getattr(scene.bvh, k))
+            for k in ["lo", "hi", "first", "count", "skip"]
+        }
+        ts = build_treelets(
+            np.asarray(g.v0), np.asarray(g.e1), np.asarray(g.e2), nodes
+        )
+        scene = dataclasses.replace(scene, treelets=ts)
+
+    R = 96
+    key = jax.random.PRNGKey(2)
+    # center-of-image pixels (corner rays can miss through the cornell
+    # box's open front face)
+    W, H = scene.camera.width, scene.camera.height
+    pidx = (H // 2) * W + W // 2 + jnp.arange(R, dtype=jnp.int32)
+    org, dirn = generate_rays(
+        scene.camera, ray_uniforms(per_ray_keys(key, pidx), 0, 2), pidx
+    )
+    hit = closest_hit_treelets(scene, org, dirn, interpret=True)
+    assert hit.u is not None and hit.v is not None
+    fat = expand_hit(pack_tri_table(scene), hit, org, dirn)
+    slim = expand_hit_uv(
+        pack_shade_table(scene), pack_mat_table(scene), hit, org, dirn
+    )
+    m = np.asarray(hit.valid)
+    assert m.any()
+    np.testing.assert_allclose(
+        np.asarray(slim.point)[m], np.asarray(fat.point)[m],
+        rtol=1e-4, atol=1e-3 * float(scene.scale),
+    )
+    np.testing.assert_allclose(
+        np.asarray(slim.normal)[m], np.asarray(fat.normal)[m],
+        rtol=1e-4, atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(slim.uv)[m], np.asarray(fat.uv)[m], rtol=1e-4, atol=1e-5
+    )
+    for f in ["kd", "ks", "radiance"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(slim, f))[m], np.asarray(getattr(fat, f))[m]
+        )
+    np.testing.assert_array_equal(
+        np.asarray(slim.area)[m], np.asarray(fat.area)[m]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(slim.tex_id)[m], np.asarray(fat.tex_id)[m]
+    )
+    np.testing.assert_array_equal(
+        np.asarray(slim.front)[m], np.asarray(fat.front)[m]
+    )
