@@ -69,22 +69,34 @@ def bench_render(scene_path, width, height, spp, bounces, spp_per_pass=None,
     # warmup + compile (ray counts accumulate on-device in film.rays)
     t0 = time.perf_counter()
     r.step()
-    rays_before = float(r.film.rays)
     compile_s = time.perf_counter() - t0
-    n_passes = max(1, measured // spp_per_pass - 1)
-    t0 = time.perf_counter()
-    for _ in range(n_passes):
-        r.step()
-    # true device sync: host readback (block_until_ready is unreliable
-    # through the remote-TPU relay)
-    total_rays = float(r.film.rays) - rays_before
-    dt = time.perf_counter() - t0
 
-    mrays = total_rays / dt / 1e6
-    time_to_image = (spp / spp_per_pass) * (dt / n_passes)
+    # Measurement protocol: >= 3 timed repetitions (one pass each), report
+    # the MEDIAN per-pass rate with min/max. The relay's run-to-run variance
+    # is +-20-30%, which spans the 100 Mrays/s pass/fail line — a single
+    # timed rep is not evidence. Renderer.step() already syncs per pass
+    # (scalar readback), so per-pass timing adds no extra round trips.
+    n_passes = max(3, measured // spp_per_pass - 1)
+    rates, pass_times = [], []
+    for _ in range(n_passes):
+        rays0 = float(r.film.rays)
+        t0 = time.perf_counter()
+        r.step()
+        dt_i = time.perf_counter() - t0
+        pass_times.append(dt_i)
+        rates.append((float(r.film.rays) - rays0) / dt_i / 1e6)
+
+    srt = sorted(rates)
+    mrays = srt[len(srt) // 2] if len(srt) % 2 else 0.5 * (
+        srt[len(srt) // 2 - 1] + srt[len(srt) // 2]
+    )
+    dt = sum(pass_times)
+    ms_pass = sorted(pass_times)[len(pass_times) // 2] * 1e3  # median
+    time_to_image = (spp / spp_per_pass) * ms_pass / 1e3
     sys.stderr.write(
         f"[bench] {n_passes} passes in {dt:.3f}s "
-        f"({dt / n_passes * 1e3:.1f} ms/pass, {mrays:.1f} Mrays/s, "
+        f"(median {ms_pass:.1f} ms/pass, {mrays:.1f} Mrays/s "
+        f"[min {srt[0]:.1f}, max {srt[-1]:.1f}], "
         f"time-to-image {time_to_image:.2f}s @ {spp}spp, "
         f"nan={int(r.film.nan_count)}, compile {compile_s:.1f}s)\n"
     )
@@ -99,7 +111,10 @@ def bench_render(scene_path, width, height, spp, bounces, spp_per_pass=None,
         "spp_measured": measured,
         "bounces": bounces,
         "mrays_per_s": round(mrays, 2),
-        "ms_per_pass": round(dt / n_passes * 1e3, 1),
+        "mrays_min": round(srt[0], 2),
+        "mrays_max": round(srt[-1], 2),
+        "reps": n_passes,
+        "ms_per_pass": round(ms_pass, 1),
         "time_to_image_s": round(time_to_image, 2),
         "scene_load_s": round(load_s, 1),
         "compile_s": round(compile_s, 1),
@@ -203,6 +218,9 @@ def main():
             "value": res["mrays_per_s"],
             "unit": "Mrays/s",
             "vs_baseline": round(res["mrays_per_s"] / 100.0, 3),
+            "min": res["mrays_min"],
+            "max": res["mrays_max"],
+            "reps": res["reps"],
         }))
         return
 
@@ -236,6 +254,9 @@ def main():
             "value": headline["mrays_per_s"],
             "unit": "Mrays/s",
             "vs_baseline": round(headline["mrays_per_s"] / 100.0, 3),
+            "min": headline.get("mrays_min"),
+            "max": headline.get("mrays_max"),
+            "reps": headline.get("reps"),
         }))
 
 

@@ -107,6 +107,14 @@ def cmd_render(args) -> int:
         spp = r.sample_idx
         dt = r.pass_times[-1]
         print(f"[render] {spp}/{args.spp} spp  {dt * 1e3:.1f} ms/pass", flush=True)
+        if args.preview_every and spp % args.preview_every == 0 and spp < args.spp:
+            # progressive-display analog (reference blits the accumulating
+            # film every frame, src/main.cpp:26-36): overwrite one preview
+            # PNG through the same mean->clamp->gamma-1/2 tonemap as the
+            # final save, so convergence can be watched from the filesystem
+            pv = args.preview or f"{name}.preview.png"
+            save(r.film, pv)
+            print(f"[render] preview @ {spp} spp -> {pv}")
         if args.checkpoint_every and spp % args.checkpoint_every == 0:
             ck = args.checkpoint or f"{name}.ckpt.npz"
             checkpoint_save(r.film, ck, args.seed, spp)
@@ -233,6 +241,11 @@ def main(argv=None) -> int:
     pr.add_argument("--out", default=None, help="output PNG path")
     pr.add_argument("--mesh", default=None,
                     help="TILESxSPP device mesh, e.g. 4x2 (default: single device)")
+    pr.add_argument("--preview-every", type=int, default=0,
+                    help="write a tonemapped preview PNG every N spp (the "
+                         "reference's progressive display, src/main.cpp:26-36)")
+    pr.add_argument("--preview", default=None,
+                    help="preview PNG path (default <scene>.preview.png)")
     pr.add_argument("--checkpoint", default=None, help="checkpoint path (.npz)")
     pr.add_argument("--checkpoint-every", type=int, default=0,
                     help="write a resumable checkpoint every N spp")

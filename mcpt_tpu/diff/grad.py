@@ -16,9 +16,13 @@ displacement moves every incident triangle coherently (geom.vert_idx maps
 triangle corners to shared vertices), and flows into hit points, shading
 normals' interpolation weights, light sample positions, areas, and the
 d^2/cos NEE pdfs. Hit *selection* for scenes with prebuilt acceleration
-structures (BVH/blocks/treelets) uses the base geometry — exact at the
-gradient evaluation point dverts = 0; inverse-rendering steps that move
-vertices re-bake the scene between steps.
+structures (BVH/treelets) uses the base geometry — exact at the gradient
+evaluation point dverts = 0; inverse-rendering steps that move vertices
+re-bake the scene between steps. On treelet-dispatch scenes the
+integrator freezes the kernel's triangle selection (stop_gradient at the
+dispatch site) and re-derives hit geometry attached from the displaced
+triangle row (integrator.make_expander differentiable=True), so dverts
+gradients flow on accelerated scenes too.
 
 The counter-based RNG makes the estimator a deterministic function of
 (params, seed), so finite differences validate autodiff directly

@@ -134,18 +134,18 @@ def attach_bvh(
     leaf_size: int = DEFAULT_LEAF_SIZE,
     use_native: bool = True,
     to_device: bool = True,
-    with_blocks: bool = None,
+    with_treelets: bool = None,
 ) -> Scene:
     """Build a BVH for `scene`, reorder its triangles, attach flat arrays.
 
-    Everything (build, triangle permutation, block layout) happens in numpy;
-    with `to_device=True` the finished scene moves to the device in one
-    batched transfer (scene.scene_to_device).
+    Everything (build, triangle permutation, treelet layout) happens in
+    numpy; with `to_device=True` the finished scene moves to the device in
+    one batched transfer (scene.scene_to_device).
 
-    For scenes past the dense-intersection threshold this also builds the
-    block-wave acceleration (ops/blocks.BlockSet) over the BVH-ordered
-    triangle buffer — the traversal `ops/intersect.closest_hit` prefers on
-    TPU. `with_blocks` forces it on/off (None = auto by triangle count).
+    For scenes past the treelet crossover this also builds the two-level
+    treelet layout (ops/treelets.TreeletSet) for the Pallas traversal
+    megakernel — the dispatch `ops/intersect.closest_hit` prefers on real
+    TPUs. `with_treelets` forces it on/off (None = auto by triangle count).
     """
     from mcpt_tpu.scene import scene_to_device
 
@@ -162,20 +162,18 @@ def attach_bvh(
         skip=np.asarray(nodes["skip"], np.int32),
     )
     scene = dataclasses.replace(scene, bvh=bvh)
-    if with_blocks is None:
-        from mcpt_tpu.ops.intersect import BRUTE_FORCE_MAX_TRIS
+    if with_treelets is None:
+        from mcpt_tpu.ops.intersect import TREELET_MIN_TRIS
 
-        with_blocks = scene.num_tris > BRUTE_FORCE_MAX_TRIS
-    if with_blocks:
-        from mcpt_tpu.ops.blocks import build_blocks
+        with_treelets = scene.num_tris > TREELET_MIN_TRIS
+    if with_treelets:
         from mcpt_tpu.ops.treelets import build_treelets
 
-        blocks = build_blocks(scene.geom.v0, scene.geom.e1, scene.geom.e2)
         treelets = build_treelets(
             scene.geom.v0, scene.geom.e1, scene.geom.e2, nodes,
             to_device=False,
         )
-        scene = dataclasses.replace(scene, blocks=blocks, treelets=treelets)
+        scene = dataclasses.replace(scene, treelets=treelets)
     return scene_to_device(scene) if to_device else scene
 
 

@@ -397,50 +397,64 @@ def any_hit_woop(
     return out
 
 
-# Below this triangle count, intersect-everything beats any tree on TPU:
-# the [R, C] Moller-Trumbore wave is pure VPU work with zero divergence,
-# while pointer-chasing traversal serializes into per-ray gather loops.
+# Above this triangle count the dense intersect-everything wave loses to
+# tree traversal even on TPU. Kept as the hard ceiling for the dense path
+# (the [R, C] wave's cost is linear in T); the treelet kernel takes over
+# far earlier on real TPUs — see TREELET_MIN_TRIS.
 BRUTE_FORCE_MAX_TRIS = 4096
+
+# On a real TPU the Pallas treelet megakernel beats the dense wave above
+# this count: a mid-size scene (veach-mis, 972 tris) pays ~1024 triangle
+# tests per ray densely where the tree pays a few treelet visits (the
+# reference builds a BVH for EVERY scene, src/Render.cpp:9). Measured on
+# v5e (round 4): veach-mis e2e 6.6 Mrays/s dense vs 24+ treelets; cornell
+# (32 tris) stays dense — one treelet would just be the dense wave plus
+# kernel overhead. Threshold swept in tools/bench_traverse.py --sweep.
+TREELET_MIN_TRIS = 256
 
 
 import os as _os
 
-# Dense-path algorithm: "woop" (XLA MXU matmul path — the default),
-# "mt" (direct XLA Moller-Trumbore on the VPU), or "pallas" (the VMEM
-# Moller-Trumbore kernel in ops/pallas/dense.py — EXPERIMENTAL: it avoids
-# the XLA path's R x 6T HBM materialization, but measured e2e it only
-# matches Woop on veach-mis (both ~6.5 Mrays/s) and collapses cornell-box
-# from 146 to 7 Mrays/s, because a 32-triangle scene pads a 512-lane wave
-# to 94% waste while XLA fuses the tiny intersection into the integrator).
-# Same accept predicate in every case.
+# Dense-path algorithm: "woop" (XLA MXU matmul path — the default) or
+# "mt" (direct XLA Moller-Trumbore on the VPU). Same accept predicate.
+# (The experimental VMEM Pallas dense kernel was removed in round 4: it
+# only ever matched Woop e2e and collapsed cornell 146 -> 7 Mrays/s;
+# numbers preserved in PERF_NOTES.md.)
 DENSE_ALGO = _os.environ.get("MCPT_INTERSECT", "woop")
+_VALID_DENSE = ("woop", "mt")
+if DENSE_ALGO not in _VALID_DENSE:
+    raise ValueError(
+        f"MCPT_INTERSECT={DENSE_ALGO!r} is not one of {_VALID_DENSE}; unknown "
+        "values used to fall back to Woop silently, which hid typos"
+    )
 
 
-# Large-scene traversal override: "treelets" (Pallas megakernel; default on
-# real TPUs), "blocks" (XLA block-wave; default on CPU), "bvh" (skip-link
-# walk). Read at trace time — like DENSE_ALGO, changing it after a render
-# program is compiled has no effect on that program.
+# Large-scene traversal override: "treelets" (Pallas megakernel; the
+# default) or "bvh" (skip-link walk fallback). Read at trace time — like
+# DENSE_ALGO, changing it after a render program is compiled has no effect
+# on that program.
 TRAVERSAL = _os.environ.get("MCPT_TRAVERSAL", "auto")
+_VALID_TRAVERSAL = ("auto", "treelets", "bvh")
+if TRAVERSAL not in _VALID_TRAVERSAL:
+    raise ValueError(
+        f"MCPT_TRAVERSAL={TRAVERSAL!r} is not one of {_VALID_TRAVERSAL}"
+    )
 
 
-def _use_treelets(scene) -> bool:
-    if scene.treelets is None:
+def uses_treelets(scene) -> bool:
+    """Static (trace-time) predicate: does dispatch use the treelet kernel?
+
+    Shared by closest_hit/any_hit and the integrator's expander choice
+    (integrator.make_expander) so the two can never disagree. True when
+    the scene carries a treelet layout, the count is past the crossover,
+    and the backend runs Pallas natively (or MCPT_TRAVERSAL forces it).
+    """
+    if scene.treelets is None or TRAVERSAL == "bvh":
+        return False
+    if scene.num_tris <= TREELET_MIN_TRIS:
         return False
     if TRAVERSAL == "treelets":
         return True
-    if TRAVERSAL != "auto":
-        return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
-
-
-def _use_dense_pallas() -> bool:
-    """Opt-in (MCPT_INTERSECT=pallas) dense path on real TPUs — see the
-    DENSE_ALGO note above for why it is not the default."""
-    if DENSE_ALGO != "pallas":
-        return False
     try:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
@@ -448,50 +462,46 @@ def _use_dense_pallas() -> bool:
 
 
 def closest_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
-    """Dispatch: dense intersect-all for small scenes (Pallas VMEM kernel
-    on TPU, XLA Woop elsewhere); for large ones the Pallas treelet
-    megakernel on TPU (ops/pallas/traverse), the XLA block-wave
-    (ops/blocks) on CPU meshes, skip-link BVH walk as fallback."""
-    if scene.num_tris > BRUTE_FORCE_MAX_TRIS:
-        if _use_treelets(scene):
-            from mcpt_tpu.ops.pallas.traverse import closest_hit_treelets
+    """Dispatch (exactly three paths, VERDICT r3 #8):
 
-            return closest_hit_treelets(scene, org, dirn, t_min, t_max)
-        if scene.blocks is not None and TRAVERSAL != "bvh":
-            from mcpt_tpu.ops.blocks import closest_hit_blocks
+      * treelet Pallas megakernel — every scene past TREELET_MIN_TRIS on a
+        real TPU (ops/pallas/traverse); the reference analogously builds a
+        BVH for every scene (src/Render.cpp:9)
+      * skip-link BVH walk — large scenes off-TPU / MCPT_TRAVERSAL=bvh
+        (ops/traverse)
+      * dense intersect-all (XLA Woop matmul or plain Moller-Trumbore) —
+        small scenes, where zero divergence beats any tree
+    """
+    sg = jax.lax.stop_gradient
+    if uses_treelets(scene):
+        from mcpt_tpu.ops.pallas.traverse import closest_hit_treelets
 
-            return closest_hit_blocks(scene, org, dirn, t_min, t_max)
-        if scene.bvh is not None:
-            from mcpt_tpu.ops.traverse import closest_hit_bvh
+        # hit SELECTION is discrete — detaching the ray loses no gradient
+        # (the integrator re-derives t/u/v attached via expand_hit under
+        # AD); Pallas kernels have no VJP, so attached inputs would error
+        # inside jax.grad.
+        return closest_hit_treelets(scene, sg(org), sg(dirn), t_min, sg(t_max))
+    if scene.num_tris > BRUTE_FORCE_MAX_TRIS and scene.bvh is not None:
+        from mcpt_tpu.ops.traverse import closest_hit_bvh
 
-            return closest_hit_bvh(scene, org, dirn, t_min, t_max)
-    if _use_dense_pallas():
-        from mcpt_tpu.ops.pallas.dense import closest_hit_dense
-
-        return closest_hit_dense(scene, org, dirn, t_min, t_max)
+        # same: lax.while_loop has no reverse-mode rule
+        return closest_hit_bvh(scene, sg(org), sg(dirn), t_min, sg(t_max))
     if DENSE_ALGO == "mt":
         return closest_hit_bruteforce(scene, org, dirn, t_min, t_max)
     return closest_hit_woop(scene, org, dirn, t_min, t_max)
 
 
 def any_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> jnp.ndarray:
-    if scene.num_tris > BRUTE_FORCE_MAX_TRIS:
-        if _use_treelets(scene):
-            from mcpt_tpu.ops.pallas.traverse import any_hit_treelets
+    sg = jax.lax.stop_gradient
+    if uses_treelets(scene):
+        from mcpt_tpu.ops.pallas.traverse import any_hit_treelets
 
-            return any_hit_treelets(scene, org, dirn, t_min, t_max)
-        if scene.blocks is not None and TRAVERSAL != "bvh":
-            from mcpt_tpu.ops.blocks import any_hit_blocks
+        # boolean output: detaching inputs builds no backward graph
+        return any_hit_treelets(scene, sg(org), sg(dirn), t_min, sg(t_max))
+    if scene.num_tris > BRUTE_FORCE_MAX_TRIS and scene.bvh is not None:
+        from mcpt_tpu.ops.traverse import any_hit_bvh
 
-            return any_hit_blocks(scene, org, dirn, t_min, t_max)
-        if scene.bvh is not None:
-            from mcpt_tpu.ops.traverse import any_hit_bvh
-
-            return any_hit_bvh(scene, org, dirn, t_min, t_max)
-    if _use_dense_pallas():
-        from mcpt_tpu.ops.pallas.dense import any_hit_dense
-
-        return any_hit_dense(scene, org, dirn, t_min, t_max)
+        return any_hit_bvh(scene, sg(org), sg(dirn), t_min, sg(t_max))
     if DENSE_ALGO == "mt":
         return any_hit_bruteforce(scene, org, dirn, t_min, t_max)
     return any_hit_woop(scene, org, dirn, t_min, t_max)

@@ -13,9 +13,8 @@ voting per ray-tile and intersecting whole treelets as dense [tile, C] waves:
     with its exact AABB. Treelet slots are padded to S_B with inverted boxes
     (slab test can never pass).
 
-Because both cuts are subtree-aligned, every AABB is a true BVH node box (not
-a union of an arbitrary chop, like ops/blocks uses) — culling quality is that
-of the underlying SAH/midpoint build.
+Because both cuts are subtree-aligned, every AABB is a true BVH node box —
+culling quality is that of the underlying SAH/midpoint build.
 
 Device arrays (HBM unless noted):
   sb_box  f32[8, NSp]           rows lo.xyz hi.xyz valid pad; VMEM-resident

@@ -178,9 +178,9 @@ def pack_mat_table(scene: Scene) -> jnp.ndarray:
 def _use_slim_expand(scene: Scene) -> bool:
     """Static: true when closest_hit dispatches to the treelet kernel
     (which returns u/v), so the slim 17-column expansion applies."""
-    from mcpt_tpu.ops.intersect import BRUTE_FORCE_MAX_TRIS, _use_treelets
+    from mcpt_tpu.ops.intersect import uses_treelets
 
-    return scene.num_tris > BRUTE_FORCE_MAX_TRIS and _use_treelets(scene)
+    return uses_treelets(scene)
 
 
 def expand_hit_uv(
@@ -195,9 +195,10 @@ def expand_hit_uv(
     point = org + t*dirn instead of the reference's barycentric
     interpolation (Triangle.cpp:68) — algebraically identical, differs
     only in f32 rounding; the relative secondary-ray t_min absorbs it.
-    NOTE: on this path hit geometry is not differentiable w.r.t. vertex
-    positions (t/u/v come from the non-differentiable kernel); the
-    dverts gradient path uses the dense expansion (small scenes).
+    This expander is PRIMAL-ONLY (t/u/v come from the non-differentiable
+    kernel); differentiable traces route through expand_hit instead
+    (make_expander(differentiable=True)), which re-derives hit geometry
+    attached at the frozen triangle selection.
     """
     rows = gather_rows(shade_table, jnp.maximum(hit.tri, 0))
     u = hit.u[:, None]
@@ -226,10 +227,21 @@ def expand_hit_uv(
     )
 
 
-def make_expander(scene: Scene):
+def make_expander(scene: Scene, differentiable: bool = False):
     """Returns expand(hit, org, dirn) bound to the right tables for this
-    scene's dispatch path (built ONCE per trace, outside the bounce loop)."""
-    if _use_slim_expand(scene):
+    scene's dispatch path (built ONCE per trace, outside the bounce loop).
+
+    `differentiable=True` forces the FULL expansion even on the treelet
+    path: the kernel's hit *selection* (tri index) is frozen with
+    stop_gradient at the dispatch site, and expand_hit re-derives t/u/v,
+    point, normal, uv from the ATTACHED triangle row — so
+    d(pixel)/d(vertex) flows on accelerated scenes too (the selection-
+    frozen recomputation is exact at the gradient evaluation point, same
+    argument as diff/grad's dverts-at-0 contract). The slim expander
+    would instead take t/u/v straight from the non-differentiable Pallas
+    kernel, silently zeroing vertex gradients past TREELET_MIN_TRIS.
+    """
+    if _use_slim_expand(scene) and not differentiable:
         shade_table = pack_shade_table(scene)
         mat_table = pack_mat_table(scene)
         return lambda hit, org, dirn: expand_hit_uv(
@@ -341,7 +353,7 @@ def trace_paths(
     R = org.shape[0]
     t_min = RAY_EPS_REL * scene.scale
     n_lights = scene.num_lights
-    expand = make_expander(scene)
+    expand = make_expander(scene, differentiable=differentiable)
     light_table = pack_light_table(scene) if n_lights > 0 else None
 
     hit = closest_hit(scene, org, dirn, t_min=t_min)

@@ -138,14 +138,10 @@ class Scene:
     light_tris: jnp.ndarray  # i32[L] triangle indices of emitters
     camera: Camera
     bvh: Optional[FlatBVH] = None
-    # Block-wave acceleration (ops/blocks.BlockSet): contiguous BVH-ordered
-    # triangle blocks + per-block AABBs + Woop matmul tables. The preferred
-    # large-scene traversal on TPU (ops/intersect.closest_hit dispatch);
-    # typed Any to avoid a scene <-> ops import cycle.
-    blocks: Optional[Any] = None
     # Two-level treelet layout (ops/treelets.TreeletSet) for the Pallas
     # traversal megakernel (ops/pallas/traverse.py) — the preferred
-    # large-scene traversal on real TPUs. Typed Any (import cycle).
+    # traversal for every scene past the crossover on real TPUs. Typed Any
+    # to avoid a scene <-> ops import cycle.
     treelets: Optional[Any] = None
     # Scene bbox diagonal (static). The reference traces in f64 with absolute
     # epsilons (Ray::t1 = 1e-4, src/Render.h:30); at f32 the self-intersection
@@ -167,8 +163,7 @@ class Scene:
 
 _register(
     Scene,
-    ["geom", "mats", "atlas", "light_tris", "camera", "bvh", "blocks",
-     "treelets"],
+    ["geom", "mats", "atlas", "light_tris", "camera", "bvh", "treelets"],
     ["scale", "num_verts"],
 )
 

@@ -53,3 +53,23 @@ def test_render_seed_mismatch_rejected(tmp_path):
         main(["render", SCENE, "--width", "16", "--height", "16", "--spp", "2",
               "--seed", "7", "--no-bvh", "--resume", ck,
               "--out", str(tmp_path / "b.png")])
+
+
+def test_render_preview_every(tmp_path):
+    """--preview-every writes intermediate tonemapped PNGs (the reference's
+    progressive-display analog, src/main.cpp:26-36)."""
+    from PIL import Image
+
+    png = str(tmp_path / "out.png")
+    pv = str(tmp_path / "preview.png")
+    args = ["render", SCENE, "--width", "32", "--height", "32", "--spp", "3",
+            "--spp-per-pass", "1", "--bounces", "2", "--no-bvh",
+            "--preview-every", "1", "--preview", pv, "--out", png]
+    assert main(args) == 0
+    assert os.path.exists(pv), "preview PNG not written"
+    prev = np.asarray(Image.open(pv))
+    assert prev.shape == (32, 32, 3)
+    # the last preview (2 spp) is a valid image but not the 3-spp final
+    final = np.asarray(Image.open(png))
+    assert prev.shape == final.shape
+    assert (prev != final).any()  # written mid-render, fewer samples

@@ -179,3 +179,100 @@ def test_vertex_grad_matches_finite_difference(grad_scene):
     eps = 0.02  # scene units (cornell box spans ~550); no decision flips
     num = (at(eps) - at(-eps)) / (2 * eps)
     assert abs(ad - num) <= 0.15 * max(abs(ad), abs(num), 1e-9), (ad, num)
+
+
+def _write_grid_scene(dirp, n=48):
+    """A >4096-triangle scene with shared vertices: an n x n floor grid lit
+    by an overhead quad. Exercises the treelet dispatch path for gradients
+    (anything past ops/intersect.TREELET_MIN_TRIS builds treelets)."""
+    import os
+
+    obj = ["mtllib grid.mtl"]
+    for j in range(n + 1):
+        for i in range(n + 1):
+            obj.append(f"v {i / n:.6f} 0.0 {j / n:.6f}")
+    # light quad, y = 0.8, facing down
+    for x, z in ((0.3, 0.3), (0.7, 0.3), (0.7, 0.7), (0.3, 0.7)):
+        obj.append(f"v {x} 0.8 {z}")
+    obj.append("vn 0.0 1.0 0.0")
+    obj.append("vn 0.0 -1.0 0.0")
+    obj.append("usemtl white")
+    for j in range(n):
+        for i in range(n):
+            a = j * (n + 1) + i + 1
+            b, c, d = a + 1, a + n + 2, a + n + 1
+            obj.append(f"f {a}//1 {c}//1 {b}//1")
+            obj.append(f"f {a}//1 {d}//1 {c}//1")
+    L = (n + 1) * (n + 1) + 1
+    obj.append("usemtl light")
+    obj.append(f"f {L}//2 {L + 1}//2 {L + 2}//2")
+    obj.append(f"f {L}//2 {L + 2}//2 {L + 3}//2")
+    with open(os.path.join(dirp, "grid.obj"), "w") as f:
+        f.write("\n".join(obj) + "\n")
+    with open(os.path.join(dirp, "grid.mtl"), "w") as f:
+        f.write("newmtl white\nKd 0.75 0.75 0.75\n\n"
+                "newmtl light\nKd 0.65 0.65 0.65\n")
+    with open(os.path.join(dirp, "grid.xml"), "w") as f:
+        f.write(
+            '<camera type="perspective" width="64" height="64" fovy="45">\n'
+            '  <eye x="0.5" y="0.55" z="-0.9"/>\n'
+            '  <lookat x="0.5" y="0.25" z="0.3"/>\n'
+            '  <up x="0.0" y="1.0" z="0.0"/>\n'
+            "</camera>\n"
+            '<light mtlname="light" radiance="30,30,30"/>\n'
+        )
+    return os.path.join(dirp, "grid.obj")
+
+
+@pytest.mark.slow
+def test_vertex_grad_on_treelet_scene(tmp_path, monkeypatch):
+    """VERDICT r3 #6: d(pixel)/d(vertex) on a scene past the treelet
+    threshold. The kernel's hit selection is frozen (stop_gradient at the
+    dispatch site); expand_hit re-derives hit geometry attached, so dverts
+    gradients flow — validated against central finite differences."""
+    from mcpt_tpu.io.obj import load_scene
+    from mcpt_tpu.ops import intersect
+
+    scene = load_scene(_write_grid_scene(str(tmp_path)), with_bvh=True)
+    assert scene.num_tris > 4096, scene.num_tris
+    assert scene.treelets is not None
+    # force treelet dispatch on the CPU test backend (kernel -> interpret)
+    monkeypatch.setattr(intersect, "TRAVERSAL", "treelets")
+    assert intersect.uses_treelets(scene)
+
+    scene = _small(scene, 12, 12)
+    params0 = extract_params(scene)
+    assert params0.dverts is not None
+    key = jax.random.PRNGKey(5)
+    target = jnp.zeros((12, 12, 3))
+    spp, bounces = 1, 2
+
+    lv = np.unique(
+        np.asarray(scene.geom.vert_idx)[np.asarray(scene.light_tris)]
+    )
+    # TANGENTIAL light motion (+x, in the emitter's plane): the treelet
+    # arrays hold BASE geometry (re-baked between inverse steps, diff/grad
+    # contract), so moving an emitter along its own normal makes the STALE
+    # copy occlude the displaced light sample — a step discontinuity FD
+    # sees but the frozen-selection estimator correctly doesn't model.
+    # In-plane motion cannot flip that visibility, while the NEE geometry
+    # (d^2, cos_l, sample position) still changes smoothly.
+    direction = np.zeros_like(np.asarray(params0.dverts))
+    direction[lv, 0] = 1.0
+    direction = jnp.asarray(direction)
+
+    _, grads = jax.value_and_grad(mse_loss)(
+        params0, scene, target, key, spp, bounces
+    )
+    g = np.asarray(grads.dverts)
+    assert np.isfinite(g).all()
+    assert np.abs(g[lv]).max() > 0, "no vertex gradient through the treelet path"
+    ad = float(jnp.sum(grads.dverts * direction))
+
+    def at(eps):
+        p = dataclasses.replace(params0, dverts=params0.dverts + eps * direction)
+        return float(mse_loss(p, scene, target, key, spp, bounces))
+
+    eps = 2e-3  # scene spans ~1.3 units
+    num = (at(eps) - at(-eps)) / (2 * eps)
+    assert abs(ad - num) <= 0.15 * max(abs(ad), abs(num), 1e-9), (ad, num)

@@ -83,18 +83,22 @@ def test_any_kernel_compiles_and_matches_bruteforce(soup):
 
 
 @requires_tpu
-def test_dense_kernel_compiles_and_matches_bruteforce(soup):
+def test_woop_dense_matches_bruteforce_on_hw(soup):
+    """The small-scene dense path (XLA Woop matmul) on the real MXU: the
+    HIGHEST-precision 6-pass decomposition must reproduce the exact
+    Moller-Trumbore accept set (tri indices bitwise equal)."""
     from mcpt_tpu.ops.intersect import (
         any_hit_bruteforce,
+        any_hit_woop,
         closest_hit_bruteforce,
+        closest_hit_woop,
     )
-    from mcpt_tpu.ops.pallas.dense import any_hit_dense, closest_hit_dense
 
     ts, v0, e1, e2, o, d = soup
     scene = _dense_scene(v0, e1, e2)
     ref = closest_hit_bruteforce(scene, o, d)
-    got = closest_hit_dense(scene, o, d)
+    got = closest_hit_woop(scene, o, d)
     np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
     ra = any_hit_bruteforce(scene, o, d, t_max=jnp.float32(6.0))
-    ga = any_hit_dense(scene, o, d, t_max=jnp.float32(6.0))
+    ga = any_hit_woop(scene, o, d, t_max=jnp.float32(6.0))
     np.testing.assert_array_equal(np.asarray(ga), np.asarray(ra))

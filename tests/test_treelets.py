@@ -1,6 +1,6 @@
 """Pallas treelet traversal (ops/pallas/traverse + ops/treelets) equivalence.
 
-Same contract as test_blocks: closest_hit_treelets returns the dense
+Contract: closest_hit_treelets returns the dense
 reference's hit (same accept predicate, lowest-tri-id tie break) and
 any_hit_treelets matches the inclusive any-hit predicate. Runs the kernel
 in interpret mode on the CPU mesh; the real-TPU path is exercised by

@@ -1,10 +1,12 @@
-"""Traversal-only throughput on a large scene (the round-1 failure mode).
+"""Traversal-only throughput (the round-1 failure mode) + threshold sweep.
 
-Usage: python tools/bench_traverse.py [scene.obj] [--rays N] [--algo blocks|bvh]
+Usage: python tools/bench_traverse.py [scene.obj] [--rays N] [--algo auto|treelets|bvh|dense]
+       python tools/bench_traverse.py --sweep   # dense-vs-treelet crossover
 
-Measures scene load time, block build, then steady-state closest_hit and
-any_hit Mrays/s on camera-like ray batches (primary rays + scrambled rays to
-mimic bounce divergence).
+Measures scene load time, then steady-state closest_hit and any_hit Mrays/s
+on camera-like ray batches (primary rays + scrambled rays to mimic bounce
+divergence). --sweep times both paths on synthetic soups of growing size to
+justify ops/intersect.TREELET_MIN_TRIS by measurement.
 """
 import argparse
 import os
@@ -17,37 +19,126 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
+def _sync(out):
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[-1]
+    np.asarray(leaf)  # host readback = true device sync through the relay
+    return out
+
+
+def _time_fn(fn, o, d, n=5):
+    t0 = time.perf_counter()
+    _sync(fn(o, d))
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = fn(o, d)
+    _sync(out)
+    return (time.perf_counter() - t0) / n, t_compile, out
+
+
+def sweep():
+    """Dense (Woop XLA) vs treelet kernel on synthetic soups: find the
+    crossover triangle count that justifies TREELET_MIN_TRIS."""
+    import jax.numpy as jnp
+
+    from mcpt_tpu.ops.bvh import build_bvh_arrays
+    from mcpt_tpu.ops.intersect import closest_hit_woop
+    from mcpt_tpu.ops.pallas.traverse import closest_hit_treelets
+    from mcpt_tpu.ops.treelets import build_treelets
+    from mcpt_tpu.scene import Geometry, Scene, permute_scene_tris
+
+    rng = np.random.default_rng(7)
+    R = 32768
+    o = rng.uniform(-6, 6, (R, 3)).astype(np.float32)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o, d = jnp.asarray(o), jnp.asarray(d)
+
+    print(f"{'tris':>6} {'dense ms':>9} {'treelet ms':>11}  winner")
+    for T in (128, 256, 512, 1024, 2048, 4096, 8192):
+        base = rng.uniform(-5, 5, (T, 3))
+        e1 = rng.normal(size=(T, 3)) * 0.5
+        e2 = rng.normal(size=(T, 3)) * 0.5
+        geom = Geometry(
+            v0=jnp.asarray(base, jnp.float32), e1=jnp.asarray(e1, jnp.float32),
+            e2=jnp.asarray(e2, jnp.float32),
+            vn=jnp.zeros((T, 3, 3), jnp.float32),
+            uv=jnp.zeros((T, 3, 2), jnp.float32),
+            mat_id=jnp.zeros((T,), jnp.int32), area=jnp.ones((T,), jnp.float32),
+        )
+        from mcpt_tpu.scene import Materials, TextureAtlas, Camera
+
+        sc = Scene(
+            geom=geom,
+            mats=Materials(
+                kd=jnp.ones((1, 3)), ks=jnp.zeros((1, 3)), ns=jnp.ones((1,)),
+                radiance=jnp.zeros((1, 3)),
+                tex_id=jnp.full((1,), -1, jnp.int32), tr=jnp.zeros((1, 3)),
+                ni=jnp.ones((1,)),
+            ),
+            atlas=TextureAtlas(data=jnp.zeros((1, 1, 1, 3)),
+                               size=jnp.ones((1, 2), jnp.int32)),
+            light_tris=jnp.zeros((0,), jnp.int32),
+            camera=Camera(eye=jnp.zeros(3), lookat=jnp.ones(3),
+                          up=jnp.array([0.0, 1.0, 0.0]),
+                          fovy=jnp.asarray(40.0)),
+        )
+        nodes, perm = build_bvh_arrays(
+            np.asarray(base, np.float64), np.asarray(e1, np.float64),
+            np.asarray(e2, np.float64), use_native=False,
+        )
+        sc = permute_scene_tris(sc, perm)
+        ts = build_treelets(sc.geom.v0, sc.geom.e1, sc.geom.e2, nodes)
+        import dataclasses as dc
+
+        sc = dc.replace(sc, treelets=ts)
+
+        import jax
+
+        # jit both: unjitted calls eager-dispatch per op through the relay
+        dt_d, _, _ = _time_fn(
+            jax.jit(lambda oo, dd: closest_hit_woop(sc, oo, dd)), o, d
+        )
+        dt_t, _, _ = _time_fn(
+            jax.jit(lambda oo, dd: closest_hit_treelets(sc, oo, dd)), o, d
+        )
+        win = "treelets" if dt_t < dt_d else "dense"
+        print(f"{T:>6} {dt_d*1e3:>9.2f} {dt_t*1e3:>11.2f}  {win}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("scene", nargs="?", default="scenes/bathroom-stress.obj")
     ap.add_argument("--rays", type=int, default=32768)
-    ap.add_argument("--algo", default="blocks", choices=["blocks", "bvh", "auto"])
-    ap.add_argument("--G", type=int, default=None)
-    ap.add_argument("--K", type=int, default=None)
-    ap.add_argument("--block-c", type=int, default=None)
-    ap.add_argument("--pallas", action="store_true")
-    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--algo", default="auto",
+                    choices=["auto", "treelets", "bvh", "dense"])
+    ap.add_argument("--ray-tile", type=int, default=None)
     ap.add_argument("--no-sort", action="store_true")
+    ap.add_argument("--sweep", action="store_true",
+                    help="dense-vs-treelet crossover on synthetic soups")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     print("device:", jax.devices()[0])
+    if args.sweep:
+        sweep()
+        return
 
     t0 = time.perf_counter()
     from mcpt_tpu.io.obj import load_scene
 
-    if args.block_c:
-        import mcpt_tpu.ops.blocks as B
-
-        B.DEFAULT_BLOCK_C = args.block_c
     scene = load_scene(args.scene, with_bvh=True)
     jax.block_until_ready(scene.geom.v0)
     t_load = time.perf_counter() - t0
     print(f"load_scene: {t_load:.2f}s  tris={scene.num_tris}", flush=True)
-    if scene.blocks is not None:
-        print(f"blocks: L={scene.blocks.n_blocks} C={scene.blocks.block_c}")
+    if scene.treelets is not None:
+        ts = scene.treelets
+        print(f"treelets: NS={ts.ns} S_B={ts.s_b} C={ts.c}")
 
     from mcpt_tpu.render.camera import generate_rays
     from mcpt_tpu.utils.rng import per_ray_keys, ray_uniforms
@@ -69,31 +160,29 @@ def main():
     org2, dirn2 = generate_rays(cam, ray_uniforms(keys2, 0, 2), pidx2)
 
     kw = {}
-    if args.G:
-        kw["G"] = args.G
-    if args.K:
-        kw["K"] = args.K
-    if args.pallas:
-        kw["use_topk_pallas"] = True
-    if args.no_pallas:
-        kw["use_topk_pallas"] = False
+    if args.ray_tile:
+        kw["ray_tile"] = args.ray_tile
     if args.no_sort:
         kw["sort_rays"] = False
 
-    if args.algo == "blocks":
-        from mcpt_tpu.ops.blocks import any_hit_blocks, closest_hit_blocks
+    if args.algo == "treelets":
+        from mcpt_tpu.ops.pallas.traverse import (
+            any_hit_treelets,
+            closest_hit_treelets,
+        )
 
-        ch = lambda o, d, **k2: closest_hit_blocks(
-            scene, o, d, with_stats=True, **kw, **k2
-        )
-        ah = lambda o, d, **k2: any_hit_blocks(
-            scene, o, d, with_stats=True, **kw, **k2
-        )
+        ch = lambda o, d, **k2: closest_hit_treelets(scene, o, d, **kw, **k2)
+        ah = lambda o, d, **k2: any_hit_treelets(scene, o, d, **kw, **k2)
     elif args.algo == "bvh":
         from mcpt_tpu.ops.traverse import any_hit_bvh, closest_hit_bvh
 
         ch = lambda o, d, **k2: closest_hit_bvh(scene, o, d, **k2)
         ah = lambda o, d, **k2: any_hit_bvh(scene, o, d, **k2)
+    elif args.algo == "dense":
+        from mcpt_tpu.ops.intersect import any_hit_woop, closest_hit_woop
+
+        ch = lambda o, d, **k2: closest_hit_woop(scene, o, d, **k2)
+        ah = lambda o, d, **k2: any_hit_woop(scene, o, d, **k2)
     else:
         from mcpt_tpu.ops.intersect import any_hit, closest_hit
 
@@ -103,7 +192,6 @@ def main():
     # realistic shadow rays: from primary hit points toward one light
     # triangle, t_max = distance (the integrator's NEE any-hit pattern)
     hit0 = ch(org, dirn)
-    hit0 = hit0[0] if isinstance(hit0, tuple) else hit0
     t0h = jnp.minimum(hit0.t, 1e3)
     p_hit = org + dirn * (t0h[:, None] * 0.999)
     if scene.num_lights > 0:
@@ -121,27 +209,7 @@ def main():
         ("anyhit/shadow", ah, (p_hit, d_sh), {"t_max": dist - 1e-3}),
         ("anyhit/primary", ah, (org, dirn), {}),
     ]:
-        fn = partial(fn, **k2)
-        # true device sync is a host readback: block_until_ready is
-        # unreliable through the remote-TPU relay (see bench.py)
-        def sync(out):
-            leaf = jax.tree_util.tree_leaves(out)[-1]
-            np.asarray(leaf)
-            return out
-
-        t0 = time.perf_counter()
-        out = sync(fn(o, d))
-        t_compile = time.perf_counter() - t0
-        n = 5
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(o, d)
-        sync(out)
-        dt = (time.perf_counter() - t0) / n
-        nwaves = None
-        if isinstance(out, tuple):
-            out, nwaves = out
-            nwaves = int(nwaves)
+        dt, t_compile, out = _time_fn(partial(fn, **k2), o, d)
         hits = None
         if hasattr(out, "tri"):
             hits = float((np.asarray(out.tri) >= 0).mean())
@@ -149,7 +217,6 @@ def main():
             f"{name}: {dt*1e3:8.2f} ms  {R/dt/1e6:8.2f} Mrays/s  "
             f"(first={t_compile:.1f}s"
             + (f", hit-rate={hits:.3f}" if hits is not None else "")
-            + (f", waves={nwaves}" if nwaves is not None else "")
             + ")",
             flush=True,
         )

@@ -56,24 +56,25 @@ def child(pid: int) -> None:
     # global mesh: 2 tiles x 1 spp, one device per process (DCN analog)
     mesh = make_mesh(2, 1, devices=jax.devices())
     sr = ShardedRenderer(scene, mesh=mesh, max_bounces=BOUNCES, spp_per_pass=SPP, seed=0)
-    film = sr.render(SPP)
-    # each process holds its own film rows; pull the locally-addressable shard
-    local_rows = [s.data for s in film.accum.addressable_shards]
+    sr.render(SPP)
+    # each process holds its own film rows in STORAGE order (compact
+    # interleaved assignment: tile pid renders image rows pid, pid+2, ...
+    # — parallel/shard.py module docstring); pull the addressable shard
+    local_rows = [s.data for s in sr._film.accum.addressable_shards]
     assert len(local_rows) == 1
     got = np.asarray(local_rows[0])
 
-    # oracle: the same rows rendered on a LOCAL single-device mesh
+    # oracle: the same (interleaved) rows rendered on a LOCAL single-device
+    # mesh — full frame in image order, strided slice for this tile
     local_mesh = make_mesh(1, 1, devices=jax.local_devices())
-    row0 = (H // 2) * pid
-    # render the full frame locally and slice this process's rows
     sr1 = ShardedRenderer(scene, mesh=local_mesh, max_bounces=BOUNCES, spp_per_pass=SPP, seed=0)
     film1 = sr1.render(SPP)
-    want = np.asarray(film1.accum)[row0 : row0 + H // 2]
+    want = np.asarray(film1.accum)[pid::2]
 
     if not np.array_equal(got, want):
         print(f"[child {pid}] MISMATCH: max abs diff {np.abs(got - want).max()}")
         sys.exit(1)
-    print(f"[child {pid}] rows {row0}..{row0 + H // 2} bitwise equal to local oracle")
+    print(f"[child {pid}] rows {pid}::2 bitwise equal to local oracle")
     sys.exit(0)
 
 
