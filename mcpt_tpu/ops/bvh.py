@@ -174,6 +174,25 @@ def attach_bvh(
             to_device=False,
         )
         scene = dataclasses.replace(scene, treelets=treelets)
+    else:
+        from mcpt_tpu.ops.intersect import DENSE_ALGO, DENSE_KERNEL_MIN_TRIS
+
+        if (DENSE_ALGO == "woop-fused"
+                and scene.num_tris > DENSE_KERNEL_MIN_TRIS):
+            # fused-kernel mode: precompute its tables once (packing
+            # inside the wavefront loop is not hoisted by XLA); jitted so
+            # the build is one device program, not dozens of eager
+            # dispatches through the remote-TPU relay (~25 s eager)
+            import jax as _jax
+
+            from mcpt_tpu.ops.pallas.woop import build_woop_set
+
+            scene = dataclasses.replace(
+                scene,
+                woop=_jax.jit(build_woop_set)(
+                    scene.geom.v0, scene.geom.e1, scene.geom.e2
+                ),
+            )
     return scene_to_device(scene) if to_device else scene
 
 

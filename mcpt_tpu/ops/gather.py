@@ -15,8 +15,10 @@ import jax.numpy as jnp
 ONEHOT_MAX_ROWS = 256
 
 
-def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, onehot_max: int = ONEHOT_MAX_ROWS):
+def gather_rows(table: jnp.ndarray, idx: jnp.ndarray, onehot_max: int = None):
     """table [T,F], idx i32[R] -> [R,F]."""
+    if onehot_max is None:  # read the global at CALL time (patchable)
+        onehot_max = ONEHOT_MAX_ROWS
     T = table.shape[0]
     if T <= onehot_max:
         oh = (idx[:, None] == jnp.arange(T, dtype=idx.dtype)[None, :]).astype(

@@ -403,30 +403,39 @@ def any_hit_woop(
 # far earlier on real TPUs — see TREELET_MIN_TRIS.
 BRUTE_FORCE_MAX_TRIS = 4096
 
-# On a real TPU the Pallas treelet megakernel beats the dense wave above
-# this count: a mid-size scene (veach-mis, 972 tris) pays ~1024 triangle
-# tests per ray densely where the tree pays a few treelet visits (the
-# reference builds a BVH for EVERY scene, src/Render.cpp:9). Measured on
-# v5e (round 4): veach-mis e2e 6.6 Mrays/s dense vs 24+ treelets; cornell
-# (32 tris) stays dense — one treelet would just be the dense wave plus
-# kernel overhead. Threshold swept in tools/bench_traverse.py --sweep.
-TREELET_MIN_TRIS = 256
+# On a real TPU the Pallas treelet megakernel beats the dense paths above
+# this count. Measured on v5e (round 4, tools/bench_traverse.py --sweep,
+# 32k scrambled rays): dense XLA Woop vs treelets per call — 1024 tris
+# 8.8 vs 9.9 ms, 4096 tris 17.0 vs 17.1, 8192 tris 28.9 vs 26.0; and
+# e2e a 972-tri render through treelets was 4x SLOWER per iteration
+# (34.6 vs 5.8 ms/iter device: the per-call sort + scatter overhead
+# dominates mid scenes). The mid-scene (veach) class is served by the
+# fused VMEM Woop kernel (ops/pallas/woop.py) instead.
+TREELET_MIN_TRIS = 4096
 
 
 import os as _os
 
-# Dense-path algorithm: "woop" (XLA MXU matmul path — the default) or
-# "mt" (direct XLA Moller-Trumbore on the VPU). Same accept predicate.
-# (The experimental VMEM Pallas dense kernel was removed in round 4: it
-# only ever matched Woop e2e and collapsed cornell 146 -> 7 Mrays/s;
-# numbers preserved in PERF_NOTES.md.)
+# Dense-path algorithm:
+#   "woop"       (default) fused VMEM Woop Pallas kernel on TPU for
+#                mid-size scenes (DENSE_KERNEL_MIN_TRIS < T <= 4096,
+#                ops/pallas/woop.py), XLA Woop matmul otherwise
+#   "woop-xla"   force the XLA Woop path everywhere (no Pallas)
+#   "woop-fused" force the fused kernel (interpret mode off-TPU)
+#   "mt"         direct XLA Moller-Trumbore on the VPU
+# Same accept predicate in every case (bitwise-equal hits, tested).
 DENSE_ALGO = _os.environ.get("MCPT_INTERSECT", "woop")
-_VALID_DENSE = ("woop", "mt")
+_VALID_DENSE = ("woop", "woop-xla", "woop-fused", "mt")
 if DENSE_ALGO not in _VALID_DENSE:
     raise ValueError(
         f"MCPT_INTERSECT={DENSE_ALGO!r} is not one of {_VALID_DENSE}; unknown "
         "values used to fall back to Woop silently, which hid typos"
     )
+
+# Below this the fused kernel's fixed per-tile costs lose to the fully
+# XLA-fused tiny wave (cornell's 32 triangles render at 146 Mrays/s
+# through plain XLA; a 256-tile kernel launch would dominate).
+DENSE_KERNEL_MIN_TRIS = 256
 
 
 # Large-scene traversal override: "treelets" (Pallas megakernel; the
@@ -439,6 +448,31 @@ if TRAVERSAL not in _VALID_TRAVERSAL:
     raise ValueError(
         f"MCPT_TRAVERSAL={TRAVERSAL!r} is not one of {_VALID_TRAVERSAL}"
     )
+
+
+def uses_woop_kernel(scene) -> bool:
+    """Static: does dispatch use the fused VMEM Woop kernel?
+
+    OPT-IN ONLY (MCPT_INTERSECT=woop-fused). The kernel is bitwise-equal
+    to the XLA path and 2.7x faster per standalone call (veach-mis 32k
+    rays: closest 1.02 vs 2.76 ms/iteration in-program), but measured
+    round 4: placing ANY Pallas custom-call inside the wavefront while
+    body inflates every neighboring XLA fusion ~12x (shell 0.35 ->
+    4.5 ms/iteration; likely lost VMEM pinning of loop carries), which
+    costs more than the kernel saves — net e2e regression. Kept as the
+    measured experiment + infrastructure; default dispatch stays XLA
+    until the fusion-inflation mechanism is beaten (see PERF_NOTES.md).
+    """
+    if uses_treelets(scene):
+        return False
+    return DENSE_ALGO == "woop-fused"
+
+
+def dispatch_returns_uv(scene) -> bool:
+    """Static: does closest_hit return kernel-computed (u, v)? (Treelet
+    megakernel and fused Woop kernel do; the integrator then uses the slim
+    17-column shading expansion.)"""
+    return uses_treelets(scene) or uses_woop_kernel(scene)
 
 
 def uses_treelets(scene) -> bool:
@@ -486,6 +520,11 @@ def closest_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
 
         # same: lax.while_loop has no reverse-mode rule
         return closest_hit_bvh(scene, sg(org), sg(dirn), t_min, sg(t_max))
+    if uses_woop_kernel(scene):
+        from mcpt_tpu.ops.pallas.woop import closest_hit_woop_fused
+
+        return closest_hit_woop_fused(scene, sg(org), sg(dirn), t_min,
+                                      sg(t_max))
     if DENSE_ALGO == "mt":
         return closest_hit_bruteforce(scene, org, dirn, t_min, t_max)
     return closest_hit_woop(scene, org, dirn, t_min, t_max)
@@ -502,6 +541,10 @@ def any_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> jnp.ndarray:
         from mcpt_tpu.ops.traverse import any_hit_bvh
 
         return any_hit_bvh(scene, sg(org), sg(dirn), t_min, sg(t_max))
+    if uses_woop_kernel(scene):
+        from mcpt_tpu.ops.pallas.woop import any_hit_woop_fused
+
+        return any_hit_woop_fused(scene, sg(org), sg(dirn), t_min, sg(t_max))
     if DENSE_ALGO == "mt":
         return any_hit_bruteforce(scene, org, dirn, t_min, t_max)
     return any_hit_woop(scene, org, dirn, t_min, t_max)

@@ -624,45 +624,39 @@ def any_hit_treelets_impl(
 
 
 def _ray_sort_order(ts: TreeletSet, org, dirn, t_min, t_max, bits_ns):
-    """Permutation grouping rays by (first superblock, entry depth).
+    """Permutation grouping rays by (direction octant, origin Morton code).
 
-    An XLA pre-pass (one [R, NSp] slab test) that makes ray tiles coherent:
-    the kernel's per-tile cost is the UNION of treelets any ray in the tile
-    wants, so incoherent (bounce/shadow) batches pay ~10-20x the per-ray
-    need. Sorting by the superblock whose entry key is minimal (stable, so
-    equal-group rays keep entry-depth order from the first sort) recovers
-    most of the coherent-tile cost. O(R log R) host-free, ~1% of traversal.
+    The kernel's per-tile cost is the UNION of treelets any ray in the
+    tile wants, so incoherent (bounce/shadow) batches pay the union's
+    width. Round 3 sorted by (first superblock, entry depth) via a full
+    [R, NSp] slab pre-pass; round 4 measured a 3-bit direction octant +
+    21-bit interleaved origin Morton key BETTER on the bathroom stress
+    (closest 33.9 -> 30.3 ms/iter at spp=8: spatial-directional locality
+    groups deep-bounce rays that the entry-superblock key scatters) AND
+    cheaper (no slab pass, one argsort ~0.4 ms at 32k). Scene bounds come
+    from the superblock table.
     """
     lo = ts.sb_box[0:3, :].T  # [NSp, 3]
     hi = ts.sb_box[3:6, :].T
     valid = ts.sb_box[6, :] > 0
-    inv = 1.0 / dirn
-    ta = (lo[None, :, :] - org[:, None, :]) * inv[:, None, :]
-    tb = (hi[None, :, :] - org[:, None, :]) * inv[:, None, :]
-    near = jnp.max(jnp.minimum(ta, tb), axis=2)
-    far = jnp.min(jnp.maximum(ta, tb) * 1.001, axis=2)
-    tm = jnp.asarray(t_min, jnp.float32)
-    tM = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (org.shape[0],))
-    hit = valid[None, :] & (
-        jnp.maximum(tm, near) < jnp.minimum(tM[:, None], far)
+    smin = jnp.where(valid[:, None], lo, jnp.inf).min(axis=0)
+    smax = jnp.where(valid[:, None], hi, -jnp.inf).max(axis=0)
+    ext = jnp.maximum(smax - smin, 1e-6)
+    q = jnp.clip((org - smin) / ext * 127.0, 0, 127).astype(jnp.int32)
+
+    def spread(x):  # interleave 7 bits with 2-bit gaps
+        r = jnp.zeros_like(x)
+        for b in range(7):
+            r = r | (((x >> b) & 1) << (3 * b))
+        return r
+
+    octant = (
+        ((dirn[:, 0] > 0).astype(jnp.int32) << 2)
+        | ((dirn[:, 1] > 0).astype(jnp.int32) << 1)
+        | (dirn[:, 2] > 0).astype(jnp.int32)
     )
-    entry = jnp.maximum(near, 0.0)
-    fb = jax.lax.bitcast_convert_type(entry, jnp.int32)
-    ids = jax.lax.broadcasted_iota(jnp.int32, fb.shape, 1)
-    key = jnp.where(hit, ((fb >> bits_ns) << bits_ns) | ids, KEY_MISS)
-    kmin = jnp.min(key, axis=1)  # packed (entry | first superblock)
-    # ONE argsort on a combined (sid major, entry minor) key: sid in the
-    # high bits, the entry float's top mantissa/exponent bits below (entry
-    # >= 0 so its bits are non-negative and order-preserving). An argsort
-    # costs ~3 ms at 32k rays on v5e — two of them were 25% of traversal.
-    sid = kmin & ((1 << bits_ns) - 1)
-    shift = 31 - bits_ns
-    combined = jnp.where(
-        kmin == KEY_MISS,
-        jnp.int32(2**31 - 1),
-        (sid << shift) | ((kmin >> bits_ns) >> (32 - shift)),
-    )
-    return jnp.argsort(combined, stable=True)
+    morton = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return jnp.argsort((octant << 21) | morton, stable=True)
 
 
 def _default_interpret() -> bool:

@@ -1,0 +1,417 @@
+"""Fused VMEM Woop intersection kernel: the mid-scene (veach-class) path.
+
+The XLA dense Woop path (ops/intersect.closest_hit_woop) materializes the
+projected coordinates P = A @ B as an [R, T, 6] HBM array — ~400 MB per
+32k x 512-triangle scan step — and round-trips it through HBM into the
+epilogue. Profiling one veach-mis wavefront iteration (round 4,
+tools/profile_pass.py) put 95% of device time in those scan steps:
+closest 2.76 ms + any-hit 2.71 ms per iteration against a ~0.3 ms shell.
+
+This kernel runs the SAME algebra (ops/intersect._woop_tables /
+_woop_tuv — reference accept predicate, src/Triangle.cpp:48-106) but keeps
+everything in VMEM and CULLS whole triangle chunks per ray tile:
+
+  * triangles are in BVH order (ops/bvh.py preorder), so a contiguous
+    128-triangle chunk is spatially coherent and carries a tight AABB;
+  * wavefront lanes are bound to pixels (integrator.trace_wavefront), so
+    a 128-ray tile is image-coherent and its rays agree on which chunks
+    matter — the reference's per-ray BVH pruning (src/BVH.cpp:95-113)
+    reappears as per-TILE chunk skipping under pl.when;
+  * live chunks run one MXU matmul [Rt, 8] @ [8, 6C] (HIGHEST precision:
+    default f32 matmul truncates to bf16, far too coarse for the hard
+    accept thresholds) and a short VPU epilogue, all in VMEM; only the
+    [Rt] winner (t, id, u, v) leaves the kernel.
+
+Emitting the winner's (u, v) lets the integrator use the slim 17-column
+shading expansion (integrator.expand_hit_uv) on this path, like the
+treelet kernel.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+F32_MAX = np.float32(np.finfo(np.float32).max)
+ID_MISS = np.int32(2**30)
+
+DEFAULT_RAY_TILE = 128
+# Triangles per cullable chunk (one VPU lane width; also the culling
+# granularity — BVH order makes contiguous chunks spatially tight).
+CHUNK_T = 128
+
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class WoopSet:
+    """Precomputed kernel tables (see pack_woop_table). Stored on the
+    Scene so the packing runs once, not once per wavefront iteration
+    (XLA does not hoist it out of the while body — measured ~4.5 ms of
+    loop-invariant fusions per iteration on veach-mis). The two eps rows
+    differ only by the closest/any determinant epsilon (1e-5 vs 1e-6,
+    src/Triangle.cpp:54,85); tbl and boxes are shared."""
+
+    tbl: jnp.ndarray  # f32[8, n_chunks*6*CHUNK_T]
+    eps_closest: jnp.ndarray  # f32[8, Tp]
+    eps_any: jnp.ndarray  # f32[8, Tp]
+    boxes: jnp.ndarray  # f32[8, Cp]
+
+
+jax.tree_util.register_dataclass(
+    WoopSet, data_fields=["tbl", "eps_closest", "eps_any", "boxes"],
+    meta_fields=[],
+)
+
+
+def build_woop_set(v0, e1, e2) -> WoopSet:
+    from mcpt_tpu.ops.intersect import DET_EPS_ANY, DET_EPS_CLOSEST
+
+    tbl, eps_c, boxes, _ = pack_woop_table(v0, e1, e2, DET_EPS_CLOSEST)
+    _, eps_a, _, _ = pack_woop_table(v0, e1, e2, DET_EPS_ANY)
+    return WoopSet(tbl=tbl, eps_closest=eps_c, eps_any=eps_a, boxes=boxes)
+
+
+def pack_woop_table(v0, e1, e2, det_eps, chunk: int = CHUNK_T):
+    """Geometry -> (tbl [8, n_chunks*6*chunk], eps [8, Tp], boxes [8, Cp]).
+
+    tbl layout is chunk-major then component-major: chunk c occupies
+    columns [c*6*chunk, (c+1)*6*chunk), inside which component k occupies
+    [k*chunk, (k+1)*chunk) — the kernel slices one contiguous block per
+    chunk and unit-stride component views of the matmul result. Pad
+    triangles carry eps = +inf (can never accept) and an inverted box.
+    boxes rows: lo.xyz hi.xyz valid pad, one column per chunk (padded to
+    a 128 multiple).
+    """
+    from mcpt_tpu.ops.intersect import _woop_tables
+
+    T = v0.shape[0]
+    n_chunks = max(1, -(-T // chunk))
+    Tp = n_chunks * chunk
+    pad = Tp - T
+    v0p = jnp.pad(v0, ((0, pad), (0, 0)))
+    e1p = jnp.pad(e1, ((0, pad), (0, 0)))
+    e2p = jnp.pad(e2, ((0, pad), (0, 0)))
+    blk, eps = _woop_tables(v0p, e1p, e2p, det_eps)
+    # [Tp,6,8] -> [n_chunks, chunk, 6, 8] -> [8, n_chunks, 6, chunk]
+    t4 = blk.reshape(n_chunks, chunk, 6, 8).transpose(3, 0, 2, 1)
+    tbl = t4.reshape(8, n_chunks * 6 * chunk)
+    epsr = jnp.broadcast_to(eps.reshape(1, Tp), (8, Tp))
+
+    # chunk AABBs (pad triangles are all-zero points; exclude them via
+    # the valid mask so the pad chunk's box stays inverted)
+    p0, p1, p2 = v0p, v0p + e1p, v0p + e2p
+    valid = (jnp.arange(Tp) < T)[:, None]
+    big = jnp.float32(F32_MAX)
+    lo3 = jnp.minimum(jnp.minimum(p0, p1), p2)
+    hi3 = jnp.maximum(jnp.maximum(p0, p1), p2)
+    lo3 = jnp.where(valid, lo3, big).reshape(n_chunks, chunk, 3).min(axis=1)
+    hi3 = jnp.where(valid, hi3, -big).reshape(n_chunks, chunk, 3).max(axis=1)
+    Cp = max(128, -(-n_chunks // 128) * 128)
+    boxes = jnp.zeros((8, Cp), jnp.float32)
+    boxes = boxes.at[0:3, :].set(big)
+    boxes = boxes.at[3:6, :].set(-big)
+    boxes = boxes.at[0:3, :n_chunks].set(lo3.T)
+    boxes = boxes.at[3:6, :n_chunks].set(hi3.T)
+    boxes = boxes.at[6, :n_chunks].set(1.0)
+    return tbl, epsr, boxes, n_chunks
+
+
+def _chunk_live(box_ref, o, inv, t_lo, t_hi, n_chunks):
+    """[Rt, Cp] bool: reference slab test per (ray, chunk) — far fudge
+    1.001, strict <, seeded from [t_lo, t_hi) (src/AABB.cpp:25-36)."""
+    Cp = box_ref.shape[1]
+    Rt = o.shape[0]
+    near = jnp.full((Rt, Cp), -jnp.inf, jnp.float32)
+    far = jnp.full((Rt, Cp), jnp.inf, jnp.float32)
+    for a in range(3):
+        o_a = o[:, a][:, None]
+        i_a = inv[:, a][:, None]
+        ta = (box_ref[a, :][None, :] - o_a) * i_a
+        tb = (box_ref[3 + a, :][None, :] - o_a) * i_a
+        near = jnp.maximum(near, jnp.minimum(ta, tb))
+        far = jnp.minimum(far, jnp.maximum(ta, tb) * 1.001)
+    valid = box_ref[6, :][None, :] > 0.0
+    return valid & (jnp.maximum(t_lo, near) < jnp.minimum(t_hi, far))
+
+
+def _project(A, tbl_ref, c, chunk):
+    """One chunk's [Rt, 6*chunk] projection on the MXU (HIGHEST f32)."""
+    B = tbl_ref[:, c * 6 * chunk:(c + 1) * 6 * chunk]
+    return jax.lax.dot_general(
+        A, B, (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _tuv(P, eps_ref, c, chunk):
+    ox = P[:, 0 * chunk:1 * chunk]
+    oy = P[:, 1 * chunk:2 * chunk]
+    oz = P[:, 2 * chunk:3 * chunk]
+    dx = P[:, 3 * chunk:4 * chunk]
+    dy = P[:, 4 * chunk:5 * chunk]
+    dz = P[:, 5 * chunk:6 * chunk]
+    eps = eps_ref[0, c * chunk:(c + 1) * chunk][None, :]
+    ok = jnp.abs(dz) >= eps
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, dz, 1.0), 0.0)
+    t = -oz * inv
+    u = ox + t * dx
+    v = oy + t * dy
+    return t, u, v, ok
+
+
+def _closest_kernel(
+    eps_ref, tbl_ref, box_ref, ray_ref, out_t, out_id, out_uv,
+    acc_t, acc_id, acc_u, acc_v, *, n_chunks, chunk,
+):
+    rays = ray_ref[:]
+    A = rays[:, 0:8]  # (o.xyz, 1, d.xyz, 0) — the Woop projection input
+    o = rays[:, 0:3]
+    inv_d = rays[:, 10:13]
+    t_lo = rays[:, 8][:, None]
+    t_hi = rays[:, 9][:, None]
+    Rt = rays.shape[0]
+
+    live = _chunk_live(box_ref, o, inv_d, t_lo, t_hi, n_chunks)
+
+    # accumulators live in scratch refs so pl.when bodies can update them
+    acc_t[:] = jnp.broadcast_to(t_hi, (Rt, 1))
+    acc_id[:] = jnp.full((Rt, 1), ID_MISS, jnp.int32)
+    acc_u[:] = jnp.zeros((Rt, 1), jnp.float32)
+    acc_v[:] = jnp.zeros((Rt, 1), jnp.float32)
+
+    for c in range(n_chunks):  # static unroll; dead chunks skipped at run
+        @pl.when(jnp.any(live[:, c]))
+        def _(c=c):
+            best_t = acc_t[:]
+            P = _project(A, tbl_ref, c, chunk)
+            t, u, v, ok = _tuv(P, eps_ref, c, chunk)
+            accept = (
+                ok & (t >= t_lo) & (t < t_hi) & (t <= best_t)
+                & (u >= 0) & (v >= 0) & (1.0 - u - v >= 0)
+            )
+            t_cand = jnp.where(accept, t, F32_MAX)
+            row_t = jnp.min(t_cand, axis=1)[:, None]
+            ids = (c * chunk
+                   + jax.lax.broadcasted_iota(jnp.int32, t_cand.shape, 1))
+            row_id = jnp.min(
+                jnp.where(t_cand <= row_t, ids, ID_MISS), axis=1
+            )[:, None]
+            msel = (t_cand <= row_t) & (ids == row_id)
+            row_u = jnp.max(jnp.where(msel, u, -F32_MAX), axis=1)[:, None]
+            row_v = jnp.max(jnp.where(msel, v, -F32_MAX), axis=1)[:, None]
+            # chunks run in ascending-id order, so on a t tie the earlier
+            # chunk (lower id) must win: strict < against the accumulator
+            # (in-chunk ties already resolved to the lowest id above)
+            better = (row_t < best_t) & (row_t < F32_MAX)
+            acc_t[:] = jnp.where(better, row_t, best_t)
+            acc_id[:] = jnp.where(better, row_id, acc_id[:])
+            acc_u[:] = jnp.where(better, row_u, acc_u[:])
+            acc_v[:] = jnp.where(better, row_v, acc_v[:])
+
+    best_t = acc_t[:]
+    best_id = acc_id[:]
+    hit = best_id < ID_MISS
+    W = out_t.shape[1]
+    out_t[:] = jnp.broadcast_to(jnp.where(hit, best_t, F32_MAX), (Rt, W))
+    out_id[:] = jnp.broadcast_to(jnp.where(hit, best_id, -1), (Rt, W))
+    col = jax.lax.broadcasted_iota(jnp.int32, (Rt, W), 1)
+    u_b = jnp.broadcast_to(jnp.where(hit, acc_u[:], 0.0), (Rt, W))
+    v_b = jnp.broadcast_to(jnp.where(hit, acc_v[:], 0.0), (Rt, W))
+    out_uv[:] = jnp.where(col < W // 2, u_b, v_b)
+
+
+def _any_kernel(
+    eps_ref, tbl_ref, box_ref, ray_ref, out_hit, acc_f,
+    *, n_chunks, chunk,
+):
+    rays = ray_ref[:]
+    A = rays[:, 0:8]
+    o = rays[:, 0:3]
+    inv_d = rays[:, 10:13]
+    t_lo = rays[:, 8][:, None]
+    t_hi = rays[:, 9][:, None]
+    Rt = rays.shape[0]
+
+    live = _chunk_live(box_ref, o, inv_d, t_lo, t_hi, n_chunks)
+    acc_f[:] = jnp.zeros((Rt, 1), jnp.int32)
+
+    for c in range(n_chunks):
+        # occlusion: only unoccluded rays keep chunks live
+        @pl.when(jnp.any(live[:, c] & (acc_f[:, 0] == 0)))
+        def _(c=c):
+            P = _project(A, tbl_ref, c, chunk)
+            t, u, v, ok = _tuv(P, eps_ref, c, chunk)
+            accept = (
+                ok
+                & (u >= 0) & (u <= 1.0)
+                & (v >= 0) & (u + v <= 1.0)
+                & (t >= t_lo) & (t <= t_hi)  # inclusive (Triangle.cpp:94-103)
+            )
+            acc_f[:] = acc_f[:] | jnp.any(accept, axis=1)[:, None].astype(
+                jnp.int32
+            )
+
+    W = out_hit.shape[1]
+    out_hit[:] = jnp.broadcast_to(acc_f[:], (Rt, W))
+
+
+def _pack_rays(org, dirn, t_min, t_max, Rt):
+    R = org.shape[0]
+    t_lo = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_hi = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    rays = jnp.concatenate(
+        [
+            org.astype(jnp.float32),
+            jnp.ones((R, 1), jnp.float32),
+            dirn.astype(jnp.float32),
+            jnp.zeros((R, 1), jnp.float32),
+            t_lo[:, None],
+            t_hi[:, None],
+            (1.0 / dirn).astype(jnp.float32),
+            jnp.zeros((R, 3), jnp.float32),
+        ],
+        axis=1,
+    )  # [R, 16]: A(0:8) t_lo(8) t_hi(9) inv_d(10:13)
+    Rp = -(-R // Rt) * Rt
+    if Rp != R:
+        pad = jnp.zeros((Rp - R, 16), jnp.float32)
+        pad = pad.at[:, 4:7].set(1.0)  # benign direction; t_hi = 0
+        pad = pad.at[:, 10:13].set(1.0)
+        rays = jnp.concatenate([rays, pad], axis=0)
+    return rays, R, Rp
+
+
+@functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
+def closest_hit_woop_fused_impl(
+    tbl, epsr, boxes, org, dirn, t_min, t_max,
+    ray_tile: int = DEFAULT_RAY_TILE, interpret: bool = False,
+):
+    n_chunks = tbl.shape[1] // (6 * CHUNK_T)  # static (from shape)
+    rays, R, Rp = _pack_rays(org, dirn, t_min, t_max, ray_tile)
+    Rt = min(ray_tile, Rp)
+    n_tiles = Rp // Rt
+    out_t, out_id, out_uv = pl.pallas_call(
+        functools.partial(_closest_kernel, n_chunks=n_chunks, chunk=CHUNK_T),
+        grid=(n_tiles,),
+        out_shape=(
+            jax.ShapeDtypeStruct((Rp, 128), jnp.float32),
+            jax.ShapeDtypeStruct((Rp, 128), jnp.int32),
+            jax.ShapeDtypeStruct((Rp, 128), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec((8, epsr.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tbl.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, boxes.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rt, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Rt, 1), jnp.float32),
+            pltpu.VMEM((Rt, 1), jnp.int32),
+            pltpu.VMEM((Rt, 1), jnp.float32),
+            pltpu.VMEM((Rt, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(epsr, tbl, boxes, rays)
+    return out_t[:R, 0], out_id[:R, 0], out_uv[:R, 0], out_uv[:R, 64]
+
+
+@functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
+def any_hit_woop_fused_impl(
+    tbl, epsr, boxes, org, dirn, t_min, t_max,
+    ray_tile: int = DEFAULT_RAY_TILE, interpret: bool = False,
+):
+    n_chunks = tbl.shape[1] // (6 * CHUNK_T)  # static (from shape)
+    rays, R, Rp = _pack_rays(org, dirn, t_min, t_max, ray_tile)
+    Rt = min(ray_tile, Rp)
+    n_tiles = Rp // Rt
+    out = pl.pallas_call(
+        functools.partial(_any_kernel, n_chunks=n_chunks, chunk=CHUNK_T),
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((Rp, 128), jnp.int32),
+        in_specs=[
+            pl.BlockSpec((8, epsr.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, tbl.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, boxes.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Rt, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((Rt, 1), jnp.int32)],
+        interpret=interpret,
+    )(epsr, tbl, boxes, rays)
+    return out[:R, 0] > 0
+
+
+def _default_interpret() -> bool:
+    try:
+        return jax.default_backend() != "tpu"
+    except Exception:  # pragma: no cover
+        return True
+
+
+def closest_hit_woop_fused(scene, org, dirn, t_min=1e-4, t_max=F32_MAX,
+                           ray_tile: int = DEFAULT_RAY_TILE,
+                           interpret: bool = None):
+    """Hit (with kernel u/v) via the fused VMEM Woop kernel."""
+    from mcpt_tpu.ops.intersect import DET_EPS_CLOSEST, Hit
+
+    if interpret is None:
+        interpret = _default_interpret()
+    ws = getattr(scene, "woop", None)
+    if ws is not None:
+        tbl, epsr, boxes = ws.tbl, ws.eps_closest, ws.boxes
+    else:
+        # fallback (tests / ad-hoc scenes): pack in-trace. Selection is
+        # frozen under AD (dispatch contract): tables must be detached or
+        # grad would need a VJP through the Pallas kernel.
+        g = scene.geom
+        sg = jax.lax.stop_gradient
+        tbl, epsr, boxes, _ = pack_woop_table(
+            sg(g.v0), sg(g.e1), sg(g.e2), DET_EPS_CLOSEST
+        )
+    t, tri, u, v = closest_hit_woop_fused_impl(
+        tbl, epsr, boxes, org, dirn, t_min, t_max,
+        ray_tile=ray_tile, interpret=interpret,
+    )
+    return Hit(t=t, tri=tri, u=u, v=v)
+
+
+def any_hit_woop_fused(scene, org, dirn, t_min=1e-4, t_max=F32_MAX,
+                       ray_tile: int = DEFAULT_RAY_TILE,
+                       interpret: bool = None):
+    from mcpt_tpu.ops.intersect import DET_EPS_ANY
+
+    if interpret is None:
+        interpret = _default_interpret()
+    ws = getattr(scene, "woop", None)
+    if ws is not None:
+        tbl, epsr, boxes = ws.tbl, ws.eps_any, ws.boxes
+    else:
+        g = scene.geom
+        sg = jax.lax.stop_gradient
+        tbl, epsr, boxes, _ = pack_woop_table(
+            sg(g.v0), sg(g.e1), sg(g.e2), DET_EPS_ANY
+        )
+    return any_hit_woop_fused_impl(
+        tbl, epsr, boxes, org, dirn, t_min, t_max,
+        ray_tile=ray_tile, interpret=interpret,
+    )

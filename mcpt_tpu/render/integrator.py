@@ -176,11 +176,12 @@ def pack_mat_table(scene: Scene) -> jnp.ndarray:
 
 
 def _use_slim_expand(scene: Scene) -> bool:
-    """Static: true when closest_hit dispatches to the treelet kernel
-    (which returns u/v), so the slim 17-column expansion applies."""
-    from mcpt_tpu.ops.intersect import uses_treelets
+    """Static: true when closest_hit dispatches to a kernel that returns
+    (u, v) — treelets or the fused Woop kernel — so the slim 17-column
+    expansion applies."""
+    from mcpt_tpu.ops.intersect import dispatch_returns_uv
 
-    return uses_treelets(scene)
+    return dispatch_returns_uv(scene)
 
 
 def expand_hit_uv(
@@ -576,11 +577,13 @@ def trace_wavefront(
 ):
     """Sum of `spp` samples' radiance for each pixel in `pixel_idx`.
 
-    Returns (L_sum [R,3], traced_rays i32[], nan_scrubbed i32[]). Sample s
-    of lane i is globally identified as (pixel_idx[i], start_idx + s); NaNs
-    are scrubbed per sample at flush, matching the reference's per-sample
-    set_Pixel scrub (src/Scene.cpp:15-18). `lane_valid` masks off padding
-    lanes entirely (they render nothing and count nothing).
+    Returns (L_sum [R,3], traced_rays i32[], nan_scrubbed i32[],
+    iters i32[] — wavefront loop iterations executed, the per-pass cost
+    denominator for profiling). Sample s of lane i is globally identified
+    as (pixel_idx[i], start_idx + s); NaNs are scrubbed per sample at
+    flush, matching the reference's per-sample set_Pixel scrub
+    (src/Scene.cpp:15-18). `lane_valid` masks off padding lanes entirely
+    (they render nothing and count nothing).
     """
     from mcpt_tpu.render.camera import generate_rays
     from mcpt_tpu.utils.rng import MAX_TAGS, sample_uniforms
@@ -616,6 +619,7 @@ def trace_wavefront(
         "alive": jnp.zeros((R,), bool),
         "nrays": jnp.zeros((), jnp.int32),
         "nan_ct": jnp.zeros((), jnp.int32),
+        "iters": jnp.zeros((), jnp.int32),
     }
 
     def cond(st):
@@ -792,10 +796,11 @@ def trace_wavefront(
             "alive": alive,
             "nrays": nrays,
             "nan_ct": nan_ct,
+            "iters": st["iters"] + 1,
         }
 
     st = jax.lax.while_loop(cond, body, st0)
-    return st["L_sum"], st["nrays"], st["nan_ct"]
+    return st["L_sum"], st["nrays"], st["nan_ct"], st["iters"]
 
 
 def trace_image_wavefront(
@@ -823,7 +828,7 @@ def trace_image_wavefront(
     def one_chunk(carry, xs):
         pidx_chunk, valid_chunk = xs
         nrays, nan_ct = carry
-        L, nr, nc = trace_wavefront(
+        L, nr, nc, _ = trace_wavefront(
             scene, cam, key, pidx_chunk, start_idx, spp, max_bounces,
             lane_valid=None if Rp == R else valid_chunk,
         )

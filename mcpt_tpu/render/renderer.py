@@ -126,7 +126,7 @@ def render_pass_chunked(scene, film, key, start_idx, max_bounces,
     parts, nrays, nan_ct = [], jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
     for i in range(n_chunks):
         sl = slice(i * chunk, (i + 1) * chunk)
-        L, nr, nc = _render_chunk(
+        L, nr, nc, _ = _render_chunk(
             scene, pidx[sl], lane_valid[sl], key, start_idx, max_bounces,
             spp_per_pass,
         )

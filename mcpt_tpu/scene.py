@@ -143,6 +143,12 @@ class Scene:
     # traversal for every scene past the crossover on real TPUs. Typed Any
     # to avoid a scene <-> ops import cycle.
     treelets: Optional[Any] = None
+    # Precomputed Woop tables (ops/pallas/woop.WoopSet) for the fused
+    # mid-scene kernel. Precomputed ONCE here because table packing
+    # inside the wavefront while-loop is not hoisted by XLA (measured
+    # ~4.5 ms/iteration of loop-invariant fusions on veach). Typed Any
+    # (import cycle).
+    woop: Optional[Any] = None
     # Scene bbox diagonal (static). The reference traces in f64 with absolute
     # epsilons (Ray::t1 = 1e-4, src/Render.h:30); at f32 the self-intersection
     # noise floor scales with scene size, so secondary-ray t_min is
@@ -163,7 +169,8 @@ class Scene:
 
 _register(
     Scene,
-    ["geom", "mats", "atlas", "light_tris", "camera", "bvh", "treelets"],
+    ["geom", "mats", "atlas", "light_tris", "camera", "bvh", "treelets",
+     "woop"],
     ["scale", "num_verts"],
 )
 

@@ -102,3 +102,18 @@ def test_woop_dense_matches_bruteforce_on_hw(soup):
     ra = any_hit_bruteforce(scene, o, d, t_max=jnp.float32(6.0))
     ga = any_hit_woop(scene, o, d, t_max=jnp.float32(6.0))
     np.testing.assert_array_equal(np.asarray(ga), np.asarray(ra))
+
+
+@requires_tpu
+def test_fused_woop_kernel_compiles_and_matches(soup):
+    """The fused VMEM Woop kernel (ops/pallas/woop) compiled by Mosaic:
+    HIGHEST-precision in-kernel matmul must reproduce the XLA accept set
+    exactly (round 4 measured bitwise-equal t on 32k veach rays)."""
+    from mcpt_tpu.ops.intersect import closest_hit_woop
+    from mcpt_tpu.ops.pallas.woop import closest_hit_woop_fused
+
+    ts, v0, e1, e2, o, d = soup
+    scene = _dense_scene(v0, e1, e2)
+    ref = closest_hit_woop(scene, o, d)
+    got = closest_hit_woop_fused(scene, o, d, interpret=False)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))

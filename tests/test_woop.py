@@ -145,3 +145,64 @@ def test_render_image_woop_vs_mt(cornell_scene):
     close = np.isclose(a, b, rtol=1e-3, atol=1e-3).mean()
     assert close > 0.99, f"only {close:.4f} of components close"
     np.testing.assert_allclose(a.mean(axis=(0, 1)), b.mean(axis=(0, 1)), rtol=2e-3)
+
+
+def test_fused_kernel_matches_xla_woop(rng):
+    """ops/pallas/woop (interpret mode) vs the XLA Woop path: identical
+    accept set (the kernel runs the same algebra with the same HIGHEST-
+    precision projection; chunk culling is conservative)."""
+    from mcpt_tpu.ops.pallas.woop import (
+        any_hit_woop_fused,
+        closest_hit_woop_fused,
+    )
+
+    scene, v0, e1, e2 = _random_tri_scene(rng, 600)
+    R = 96
+    o = rng.uniform(-2, 2, (R, 3))
+    d = rng.normal(size=(R, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+
+    ref = closest_hit_woop(scene, o, d)
+    got = closest_hit_woop_fused(scene, o, d, interpret=True)
+    same = np.asarray(ref.tri) == np.asarray(got.tri)
+    assert same.mean() > 0.99, (~same).sum()
+    sel = same & (np.asarray(ref.tri) >= 0)
+    np.testing.assert_array_equal(
+        np.asarray(ref.t)[sel], np.asarray(got.t)[sel]
+    )
+    # kernel-computed u/v match the dense expansion's recomputation
+    assert got.u is not None and got.v is not None
+    uv_ok = (np.asarray(got.u)[sel] >= -1e-6) & (np.asarray(got.v)[sel] >= -1e-6)
+    assert uv_ok.all()
+
+    t_max = jnp.asarray(rng.uniform(0.5, 6.0, R), jnp.float32)
+    ra = any_hit_woop(scene, o, d, t_max=t_max)
+    ga = any_hit_woop_fused(scene, o, d, t_max=t_max, interpret=True)
+    assert (np.asarray(ra) == np.asarray(ga)).mean() > 0.99
+
+
+def test_fused_kernel_render_matches_xla(cornell_scene, monkeypatch):
+    """End-to-end render parity: forcing MCPT_INTERSECT=woop-fused must
+    reproduce the default render bitwise (same accept set, same RNG)."""
+    import dataclasses as dc
+
+    import jax
+
+    from mcpt_tpu.ops import intersect
+    from mcpt_tpu.render.renderer import RenderConfig, Renderer
+
+    scene = cornell_scene
+    cam = dc.replace(scene.camera, width=24, height=24)
+    scene = dc.replace(scene, camera=cam)
+
+    r1 = Renderer(scene, RenderConfig(max_bounces=4, seed=0))
+    r1.step()
+    a = np.asarray(r1.film.accum)
+
+    monkeypatch.setattr(intersect, "DENSE_ALGO", "woop-fused")
+    r2 = Renderer(scene, RenderConfig(max_bounces=4, seed=0))
+    r2.step()
+    b = np.asarray(r2.film.accum)
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)

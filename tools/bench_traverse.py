@@ -189,6 +189,10 @@ def main():
         ch = lambda o, d, **k2: closest_hit(scene, o, d, **k2)
         ah = lambda o, d, **k2: any_hit(scene, o, d, **k2)
 
+    # jit everything: unjitted calls eager-dispatch per op through the relay
+    ch = jax.jit(ch)
+    ah = jax.jit(ah)
+
     # realistic shadow rays: from primary hit points toward one light
     # triangle, t_max = distance (the integrator's NEE any-hit pattern)
     hit0 = ch(org, dirn)
