@@ -40,22 +40,51 @@ def make_inverse_step(
     max_bounces: int = 6,
     learning_rate: float = 2e-2,
     param_mask: Optional[SceneParams] = None,
+    radiance_lr: Optional[float] = None,
 ):
     """Build (init_state, step_fn). step_fn is jitted end-to-end.
 
     `param_mask` (0/1 per entry) freezes parameters where 0 — e.g. optimize
-    only the albedo of selected materials.
+    only the albedo of selected materials. `radiance_lr` gives emission its
+    own Adam learning rate: Adam's normalized step moves each coordinate
+    ~lr per step, and emitted radiance lives on a scale ~40x reflectance
+    (cornell light 42.98 vs kd <= 1), so a shared 2e-2 rate cannot cross
+    that distance in the BASELINE 500-step budget.
     """
-    opt = optax.adam(learning_rate)
+    if radiance_lr is None:
+        opt = optax.adam(learning_rate)
+    else:
+        labels = SceneParams(
+            kd="slow", ks="slow", radiance="fast",
+            dverts=None,  # matches params built without a vertex field
+        )
+        opt = optax.multi_transform(
+            {"slow": optax.adam(learning_rate),
+             "fast": optax.adam(radiance_lr)},
+            labels,
+        )
 
     def init(params: SceneParams) -> InverseState:
-        return InverseState(params=params, opt_state=opt.init(params), step=jnp.zeros((), jnp.int32))
+        p = params
+        if radiance_lr is not None and p.dverts is not None:
+            # label pytree carries dverts=None; align the param structure
+            # (the vertex field is frozen in this mode anyway)
+            p = dataclasses.replace(p, dverts=None)
+        return InverseState(params=p, opt_state=opt.init(p), step=jnp.zeros((), jnp.int32))
 
     @jax.jit
     def step_fn(state: InverseState, key) -> tuple:
         k = jax.random.fold_in(key, state.step)
         loss, grads = jax.value_and_grad(mse_loss_dual)(
             state.params, scene, target, k, spp, max_bounces
+        )
+        # gradient hygiene (the training-loop analog of the film's NaN
+        # scrub, src/Scene.cpp:15-18): one firefly path with a non-finite
+        # backward would otherwise poison Adam's moments PERMANENTLY —
+        # observed on the 500-step 256^2 run (params NaN'd near step ~50,
+        # loss froze at the render-of-NaN-scrubbed-params value)
+        grads = jax.tree_util.tree_map(
+            lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
         )
         if param_mask is not None:
             # field-wise (not tree.map): a mask built without dverts (None)
