@@ -96,7 +96,8 @@ def nee_visibility_edge_grad(
     pb = p[None, :, :, :]
     d_xp = pb - xb
     h = jnp.sum(d_xp * n_l, axis=-1)  # <p-x, n_l>  [R,E,S]
-    A = jnp.sum((light_q0 - x) * n_l, axis=-1)[:, None, None]  # <q0-x, n_l>
+    A0 = jnp.sum((light_q0 - x) * n_l, axis=-1)  # [R]
+    A = A0[:, None, None]  # <q0-x, n_l>
     # only edges strictly between x and the light plane cast this boundary
     valid_h = (jnp.abs(h) > 1e-12) & (A / jnp.where(h == 0, 1.0, h) > 1.0)
     c = jnp.where(valid_h, A / jnp.where(jnp.abs(h) > 1e-12, h, 1.0), 0.0)
@@ -135,9 +136,10 @@ def nee_visibility_edge_grad(
     tau = dy_ds / speed[..., None]
     n_curve = cross(jnp.broadcast_to(n_l, tau.shape), tau)  # in light plane
     # orient toward the occluded side: the projected occluder centroid
-    y_c = xb + (A / jnp.maximum(jnp.sum((centroid - x) * n_l, axis=-1),
-                                1e-12))[:, None, None, None] * (centroid - xb)
-    sign = jnp.sign(jnp.sum((y_c - y) * n_curve, axis=-1))
+    h_c = jnp.sum((centroid - x) * n_l, axis=-1)  # [R]
+    c_c = A0 / jnp.where(jnp.abs(h_c) > 1e-12, h_c, 1e-12)
+    y_c = x + c_c[:, None] * (centroid - x)  # [R,3] on the light plane
+    sign = jnp.sign(jnp.sum((y_c[:, None, None, :] - y) * n_curve, axis=-1))
     n_occ = n_curve * jnp.where(sign == 0, 1.0, sign)[..., None]
 
     # adjoint weight: scalar per (pixel, edge, sample)
