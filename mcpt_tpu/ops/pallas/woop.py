@@ -39,6 +39,17 @@ from jax.experimental.pallas import tpu as pltpu
 F32_MAX = np.float32(np.finfo(np.float32).max)
 ID_MISS = np.int32(2**30)
 
+import os as _os
+
+# Experiment knob: cap the kernel's declared VMEM budget (bytes). The
+# fusion-inflation hypothesis says XLA reserves scoped VMEM for the
+# custom call and evicts its loop-carry pinning; a small declared cap
+# may restore it.
+_VMEM_CAP = int(_os.environ.get("MCPT_WOOP_VMEM_CAP", "0")) or None
+_COMPILER_PARAMS = (
+    pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP) if _VMEM_CAP else None
+)
+
 DEFAULT_RAY_TILE = 128
 # Triangles per cullable chunk (one VPU lane width; also the culling
 # granularity — BVH order makes contiguous chunks spatially tight).
@@ -325,6 +336,7 @@ def closest_hit_woop_fused_impl(
             pltpu.VMEM((Rt, 1), jnp.float32),
             pltpu.VMEM((Rt, 1), jnp.float32),
         ],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(epsr, tbl, boxes, rays)
     return out_t[:R, 0], out_id[:R, 0], out_uv[:R, 0], out_uv[:R, 64]
@@ -356,6 +368,7 @@ def any_hit_woop_fused_impl(
             (Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[pltpu.VMEM((Rt, 1), jnp.int32)],
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(epsr, tbl, boxes, rays)
     return out[:R, 0] > 0

@@ -276,3 +276,63 @@ def test_vertex_grad_on_treelet_scene(tmp_path, monkeypatch):
     eps = 2e-3  # scene spans ~1.3 units
     num = (at(eps) - at(-eps)) / (2 * eps)
     assert abs(ad - num) <= 0.15 * max(abs(ad), abs(num), 1e-9), (ad, num)
+
+
+@pytest.mark.slow
+def test_inverse_recovers_light_height(grad_scene):
+    """VERTEX inverse rendering: recover the cornell light's HEIGHT by
+    gradient descent through the vertex-displacement field. The light
+    starts 30 units too low; the loss is differentiated w.r.t. one rigid
+    scalar (height h, dverts = h * e_y on the light's shared vertices) —
+    the well-posed rigid mode. (Optimizing all 6 vertex coordinates
+    independently is ill-posed at this sample count: per-coordinate Adam
+    tilts the quad into spurious partial matches — measured mean stall at
+    -14 with per-vertex spread [-36, -4]. Rigid/low-dimensional
+    parameterizations are the standard remedy.) Dense-path dispatch keeps
+    hit selection consistent with the displaced geometry at every
+    evaluation. The reference has no analog — this is the BASELINE north
+    star's vertex-gradient stage."""
+    import optax
+
+    from mcpt_tpu.diff.grad import mse_loss_dual
+
+    scene = grad_scene
+    true_params = extract_params(scene)
+    assert true_params.dverts is not None
+    key = jax.random.PRNGKey(21)
+    target = render_image(true_params, scene, key, 8, 4)
+
+    lv = np.unique(
+        np.asarray(scene.geom.vert_idx)[np.asarray(scene.light_tris)]
+    )
+    mode = np.zeros_like(np.asarray(true_params.dverts))
+    mode[lv, 1] = 1.0  # rigid vertical translation of the light quad
+    mode = jnp.asarray(mode)
+
+    def loss_h(h, k):
+        p = dataclasses.replace(true_params, dverts=h * mode)
+        return mse_loss_dual(p, scene, target, k, 2, 4)
+
+    OFFSET = 30.0
+    STEPS = 200
+    h = jnp.asarray(-OFFSET)
+    # cosine-decayed rate: far from the optimum the gradient is strong
+    # (SNR >> 1) and big steps close the 30-unit gap; near it the
+    # gradient shrinks ~14x while per-step estimator noise is constant,
+    # so the rate must shrink for Adam to settle instead of random-walk
+    opt = optax.adam(optax.cosine_decay_schedule(1.0, STEPS, 0.02))
+    opt_state = opt.init(h)
+
+    @jax.jit
+    def step(h, opt_state, k):
+        loss, g = jax.value_and_grad(loss_h)(h, k)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        up, opt_state = opt.update(g, opt_state, h)
+        return optax.apply_updates(h, up), opt_state, loss
+
+    key2 = jax.random.PRNGKey(6)
+    for i in range(STEPS):
+        h, opt_state, loss = step(h, opt_state, jax.random.fold_in(key2, i))
+    got = float(h)
+    # recovered the height within a few units of true (0 displacement)
+    assert abs(got) < 0.2 * OFFSET, got
