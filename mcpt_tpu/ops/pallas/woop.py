@@ -178,7 +178,7 @@ def _tuv(P, eps_ref, c, chunk):
 
 
 def _closest_kernel(
-    eps_ref, tbl_ref, box_ref, ray_ref, out_t, out_id, out_uv,
+    eps_ref, tbl_ref, box_ref, ray_ref, out_t,
     acc_t, acc_id, acc_u, acc_v, *, n_chunks, chunk,
 ):
     rays = ray_ref[:]
@@ -229,13 +229,20 @@ def _closest_kernel(
     best_t = acc_t[:]
     best_id = acc_id[:]
     hit = best_id < ID_MISS
+    # ONE packed output buffer (t | id | u | v in 32-column bands): three
+    # separate [Rp,128] outputs tripled the call's HBM output footprint
+    # (probe for the fusion-inflation effect: less buffer pressure)
     W = out_t.shape[1]
-    out_t[:] = jnp.broadcast_to(jnp.where(hit, best_t, F32_MAX), (Rt, W))
-    out_id[:] = jnp.broadcast_to(jnp.where(hit, best_id, -1), (Rt, W))
     col = jax.lax.broadcasted_iota(jnp.int32, (Rt, W), 1)
+    t_b = jnp.broadcast_to(jnp.where(hit, best_t, F32_MAX), (Rt, W))
+    id_b = jax.lax.bitcast_convert_type(
+        jnp.broadcast_to(jnp.where(hit, best_id, -1), (Rt, W)), jnp.float32
+    )
     u_b = jnp.broadcast_to(jnp.where(hit, acc_u[:], 0.0), (Rt, W))
     v_b = jnp.broadcast_to(jnp.where(hit, acc_v[:], 0.0), (Rt, W))
-    out_uv[:] = jnp.where(col < W // 2, u_b, v_b)
+    out_t[:] = jnp.where(
+        col < 32, t_b, jnp.where(col < 64, id_b, jnp.where(col < 96, u_b, v_b))
+    )
 
 
 def _any_kernel(
@@ -308,14 +315,10 @@ def closest_hit_woop_fused_impl(
     rays, R, Rp = _pack_rays(org, dirn, t_min, t_max, ray_tile)
     Rt = min(ray_tile, Rp)
     n_tiles = Rp // Rt
-    out_t, out_id, out_uv = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(_closest_kernel, n_chunks=n_chunks, chunk=CHUNK_T),
         grid=(n_tiles,),
-        out_shape=(
-            jax.ShapeDtypeStruct((Rp, 128), jnp.float32),
-            jax.ShapeDtypeStruct((Rp, 128), jnp.int32),
-            jax.ShapeDtypeStruct((Rp, 128), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((Rp, 128), jnp.float32),
         in_specs=[
             pl.BlockSpec((8, epsr.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -325,10 +328,8 @@ def closest_hit_woop_fused_impl(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Rt, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (Rt, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
             pltpu.VMEM((Rt, 1), jnp.float32),
@@ -339,7 +340,9 @@ def closest_hit_woop_fused_impl(
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(epsr, tbl, boxes, rays)
-    return out_t[:R, 0], out_id[:R, 0], out_uv[:R, 0], out_uv[:R, 64]
+    t = out[:R, 0]
+    tri = jax.lax.bitcast_convert_type(out[:R, 32], jnp.int32)
+    return t, tri, out[:R, 64], out[:R, 96]
 
 
 @functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
