@@ -102,11 +102,21 @@ def cmd_render(args) -> int:
 
     name = os.path.splitext(os.path.basename(args.scene))[0]
     t0 = time.perf_counter()
+    first_frame = True
     while r.sample_idx < args.spp:
         r.step()
         spp = r.sample_idx
         dt = r.pass_times[-1]
-        print(f"[render] {spp}/{args.spp} spp  {dt * 1e3:.1f} ms/pass", flush=True)
+        if args.live:
+            # progressive display in the terminal (the reference's GLFW
+            # frame loop, src/main.cpp:21-36; see io/term.py)
+            from mcpt_tpu.io.term import live_draw
+
+            live_draw(r.film, spp, args.spp, dt * 1e3, first=first_frame)
+            first_frame = False
+        else:
+            print(f"[render] {spp}/{args.spp} spp  {dt * 1e3:.1f} ms/pass",
+                  flush=True)
         if args.preview_every and spp % args.preview_every == 0 and spp < args.spp:
             # progressive-display analog (reference blits the accumulating
             # film every frame, src/main.cpp:26-36): overwrite one preview
@@ -241,6 +251,10 @@ def main(argv=None) -> int:
     pr.add_argument("--out", default=None, help="output PNG path")
     pr.add_argument("--mesh", default=None,
                     help="TILESxSPP device mesh, e.g. 4x2 (default: single device)")
+    pr.add_argument("--live", action="store_true",
+                    help="progressive ANSI preview in the terminal after "
+                         "every pass (the reference's GLFW display loop, "
+                         "src/main.cpp:21-36, without a display server)")
     pr.add_argument("--preview-every", type=int, default=0,
                     help="write a tonemapped preview PNG every N spp (the "
                          "reference's progressive display, src/main.cpp:26-36)")

@@ -73,3 +73,35 @@ def test_render_preview_every(tmp_path):
     final = np.asarray(Image.open(png))
     assert prev.shape == final.shape
     assert (prev != final).any()  # written mid-render, fewer samples
+
+
+def test_render_live_terminal_preview(tmp_path, capsys):
+    """--live redraws an ANSI half-block frame per pass (the reference's
+    progressive display loop, src/main.cpp:21-36, terminal edition)."""
+    png = str(tmp_path / "out.png")
+    args = ["render", SCENE, "--width", "32", "--height", "32", "--spp", "2",
+            "--spp-per-pass", "1", "--bounces", "2", "--no-bvh",
+            "--live", "--out", png]
+    assert main(args) == 0
+    out = capsys.readouterr().out
+    assert "\x1b[38;2;" in out and "▀" in out, "no ANSI half-block frame"
+    assert "2/2 spp" in out
+    assert os.path.exists(png)
+
+
+def test_ansi_frame_tonemap_matches_png_curve():
+    """io/term.tonemap_u8 must be the PNG writer's curve exactly."""
+    import numpy as np
+
+    from mcpt_tpu.io.term import ansi_frame, tonemap_u8
+    from mcpt_tpu.render.film import Film
+
+    H = W = 8
+    accum = np.random.default_rng(0).uniform(0, 2, (H, W, 3)).astype(np.float32)
+    spp = np.full((H, W), 4.0, np.float32)
+    film = Film(accum=accum, spp=spp, nan_count=np.zeros(()), rays=np.zeros(()))
+    u8 = tonemap_u8(accum, spp)
+    expect = (np.sqrt(np.clip(accum / 4.0, 0, 1)) * 255.99).astype(np.uint8)[::-1]
+    np.testing.assert_array_equal(u8, expect)
+    s = ansi_frame(film, max_cols=8, max_rows=4)
+    assert s.count("\n") == 3  # 8 pixel rows -> 4 half-block lines
