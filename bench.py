@@ -86,12 +86,15 @@ def bench_render(scene_path, width, height, spp, bounces, spp_per_pass=None,
         pass_times.append(dt_i)
         rates.append((float(r.film.rays) - rays0) / dt_i / 1e6)
 
+    def median(xs):
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else 0.5 * (s[m - 1] + s[m])
+
     srt = sorted(rates)
-    mrays = srt[len(srt) // 2] if len(srt) % 2 else 0.5 * (
-        srt[len(srt) // 2 - 1] + srt[len(srt) // 2]
-    )
+    mrays = median(rates)
     dt = sum(pass_times)
-    ms_pass = sorted(pass_times)[len(pass_times) // 2] * 1e3  # median
+    ms_pass = median(pass_times) * 1e3
     time_to_image = (spp / spp_per_pass) * ms_pass / 1e3
     sys.stderr.write(
         f"[bench] {n_passes} passes in {dt:.3f}s "
@@ -215,7 +218,12 @@ def bench_inverse(steps_measure=25, steps_full=500, res=256, spp=4,
         kd_err = float(kd_err_all[~emissive].max())
         rad_true = np.asarray(params0.radiance)[emissive]
         rad_got = np.asarray(state.params.radiance)[emissive]
-        rad_rel = float(np.max(np.abs(rad_got - rad_true) / rad_true))
+        # relative error over channels the emitter actually has (a colored
+        # light's zero channel would divide by zero)
+        lit = rad_true > 1e-6
+        rad_rel = float(
+            np.max(np.abs(rad_got[lit] - rad_true[lit]) / rad_true[lit])
+        )
         out.update({
             "recovered": True,
             "kd_err_inf_nonemissive": round(kd_err, 4),

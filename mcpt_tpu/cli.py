@@ -104,6 +104,7 @@ def cmd_render(args) -> int:
     t0 = time.perf_counter()
     first_frame = True
     while r.sample_idx < args.spp:
+        prev_spp = r.sample_idx
         r.step()
         spp = r.sample_idx
         dt = r.pass_times[-1]
@@ -117,7 +118,12 @@ def cmd_render(args) -> int:
         else:
             print(f"[render] {spp}/{args.spp} spp  {dt * 1e3:.1f} ms/pass",
                   flush=True)
-        if args.preview_every and spp % args.preview_every == 0 and spp < args.spp:
+        # trigger on CROSSING a multiple of N: spp advances in
+        # spp_per_pass strides, so `spp % N == 0` would silently never
+        # fire when N is not a multiple of the stride
+        crossed = (args.preview_every
+                   and spp // args.preview_every > prev_spp // args.preview_every)
+        if crossed and spp < args.spp:
             # progressive-display analog (reference blits the accumulating
             # film every frame, src/main.cpp:26-36): overwrite one preview
             # PNG through the same mean->clamp->gamma-1/2 tonemap as the

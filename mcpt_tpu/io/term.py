@@ -22,15 +22,17 @@ RESET = "\x1b[0m"
 def tonemap_u8(accum: np.ndarray, spp: np.ndarray) -> np.ndarray:
     """Film accumulators -> display u8 [H,W,3], image top-first.
 
-    Same curve as io/image.save (reference Scene::getPixelsColor,
-    src/Scene.cpp:26-30): mean, clamp [0,1], gamma 1/2, x255.99; film row
-    0 is the image BOTTOM, so flip vertically for display.
+    Delegates to io/image.tonemap — the ONE implementation of the
+    reference curve (mean -> clamp -> gamma 1/2 -> x255.99,
+    src/Scene.cpp:26-30) — then flips like save_png does (film row 0 is
+    the image BOTTOM).
     """
-    accum = np.asarray(accum)
-    spp = np.maximum(np.asarray(spp, np.float32), 1.0)
-    mean = accum / spp[..., None] if spp.ndim == 2 else accum / spp
-    img = np.sqrt(np.clip(mean, 0.0, 1.0)) * 255.99
-    return img.astype(np.uint8)[::-1]
+    from mcpt_tpu.io.image import tonemap
+
+    spp = np.asarray(spp, np.float32)
+    if spp.ndim == 2:
+        spp = spp[..., None]
+    return tonemap(np.asarray(accum), spp)[::-1]
 
 
 def _box_downsample(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -417,11 +417,12 @@ TREELET_MIN_TRIS = 4096
 import os as _os
 
 # Dense-path algorithm:
-#   "woop"       (default) fused VMEM Woop Pallas kernel on TPU for
-#                mid-size scenes (DENSE_KERNEL_MIN_TRIS < T <= 4096,
-#                ops/pallas/woop.py), XLA Woop matmul otherwise
-#   "woop-xla"   force the XLA Woop path everywhere (no Pallas)
-#   "woop-fused" force the fused kernel (interpret mode off-TPU)
+#   "woop"       (default) the XLA Woop matmul path
+#   "woop-xla"   alias of the default (kept so configs can be explicit)
+#   "woop-fused" OPT-IN fused VMEM Pallas kernel (ops/pallas/woop.py;
+#                bitwise-equal and faster per call, but e2e-blocked by
+#                the Pallas fusion-inflation effect — see uses_woop_kernel
+#                and PERF_NOTES.md; interpret mode off-TPU)
 #   "mt"         direct XLA Moller-Trumbore on the VPU
 # Same accept predicate in every case (bitwise-equal hits, tested).
 DENSE_ALGO = _os.environ.get("MCPT_INTERSECT", "woop")
@@ -464,6 +465,12 @@ def uses_woop_kernel(scene) -> bool:
     until the fusion-inflation mechanism is beaten (see PERF_NOTES.md).
     """
     if uses_treelets(scene):
+        return False
+    if scene.num_tris > BRUTE_FORCE_MAX_TRIS and scene.bvh is not None:
+        # the skip-link BVH walk wins dispatch for large scenes with
+        # treelets unavailable — it returns Hit without u/v, so this
+        # predicate MUST be False or the integrator would pick the slim
+        # expander and dereference hit.u == None
         return False
     return DENSE_ALGO == "woop-fused"
 

@@ -623,7 +623,7 @@ def any_hit_treelets_impl(
     return out[:R, 0] > 0
 
 
-def _ray_sort_order(ts: TreeletSet, org, dirn, t_min, t_max, bits_ns):
+def _ray_sort_order(ts: TreeletSet, org, dirn):
     """Permutation grouping rays by (direction octant, origin Morton code).
 
     The kernel's per-tile cost is the UNION of treelets any ray in the
@@ -668,8 +668,7 @@ def _default_interpret() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
 def _closest_sorted(ts, org, dirn, t_min, t_max, ray_tile, interpret):
-    bits_ns = _bits(ts.sb_box.shape[1])
-    order = _ray_sort_order(ts, org, dirn, t_min, t_max, bits_ns)
+    order = _ray_sort_order(ts, org, dirn)
     tM = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (org.shape[0],))
     t_s, tri_s, u_s, v_s = closest_hit_treelets_impl(
         ts, org[order], dirn[order], t_min, tM[order],
@@ -684,8 +683,7 @@ def _closest_sorted(ts, org, dirn, t_min, t_max, ray_tile, interpret):
 
 @functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
 def _any_sorted(ts, org, dirn, t_min, t_max, ray_tile, interpret):
-    bits_ns = _bits(ts.sb_box.shape[1])
-    order = _ray_sort_order(ts, org, dirn, t_min, t_max, bits_ns)
+    order = _ray_sort_order(ts, org, dirn)
     tM = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (org.shape[0],))
     hit_s = any_hit_treelets_impl(
         ts, org[order], dirn[order], t_min, tM[order],

@@ -148,7 +148,13 @@ def _chunk_live(box_ref, o, inv, t_lo, t_hi, n_chunks):
         near = jnp.maximum(near, jnp.minimum(ta, tb))
         far = jnp.minimum(far, jnp.maximum(ta, tb) * 1.001)
     valid = box_ref[6, :][None, :] > 0.0
-    return valid & (jnp.maximum(t_lo, near) < jnp.minimum(t_hi, far))
+    # NaN-conservative form: a ray with a zero direction component whose
+    # origin sits exactly on a box plane gives 0 * inf = NaN in the slab
+    # products; `a < b` would read False and CULL a chunk that may hold
+    # the real hit (diverging from the un-culled XLA path). ~(a >= b)
+    # keeps NaN rays LIVE — culling must only ever be conservative.
+    dead = jnp.maximum(t_lo, near) >= jnp.minimum(t_hi, far)
+    return valid & ~dead
 
 
 def _project(A, tbl_ref, c, chunk):

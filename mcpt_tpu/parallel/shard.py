@@ -251,12 +251,15 @@ def measure_throughput_scaling(
         )
         for _ in range(warmup):
             sr.step()
+        # read counters from the STORAGE film (the .film property builds a
+        # de-interleaving reshape per access) and take rays0 BEFORE the
+        # clock starts — neither belongs inside the timed window
+        rays0 = float(sr._film.rays)
         t0 = time.perf_counter()
-        rays0 = float(sr.film.rays)
         for _ in range(timed):
             sr.step()
         dt = time.perf_counter() - t0
-        rays = float(sr.film.rays) - rays0
+        rays = float(sr._film.rays) - rays0
         mrps = rays / dt / 1e6 if dt > 0 else 0.0
         if base is None:
             base = mrps
@@ -323,7 +326,8 @@ class ShardedRenderer:
         float(self._film.spp)  # true sync via host readback
         self.pass_times.append(time.perf_counter() - t0)
         self.sample_idx += self.spp_per_pass
-        return self._film
+        # image order, like Renderer.step (the storage film is interleaved)
+        return self.film
 
     def render(self, spp: int) -> Film:
         while self.sample_idx < spp:

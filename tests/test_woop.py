@@ -206,3 +206,36 @@ def test_fused_kernel_render_matches_xla(cornell_scene, monkeypatch):
     r2.step()
     b = np.asarray(r2.film.accum)
     np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+
+def test_fused_mode_defers_to_bvh_walk_on_large_scenes(rng, monkeypatch):
+    """MCPT_INTERSECT=woop-fused + a >4096-tri scene whose dispatch takes
+    the skip-link BVH walk (no treelets / off-TPU): uses_woop_kernel and
+    dispatch_returns_uv must be False (the walk returns Hit without u/v;
+    the slim expander would dereference hit.u == None)."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    from mcpt_tpu.ops import intersect
+    from mcpt_tpu.ops.bvh import build_bvh_arrays
+    from mcpt_tpu.scene import FlatBVH
+
+    scene, v0, e1, e2 = _random_tri_scene(rng, 5000)
+    nodes, perm = build_bvh_arrays(
+        np.asarray(v0), np.asarray(e1), np.asarray(e2), use_native=False
+    )
+    bvh = FlatBVH(
+        lo=jnp.asarray(nodes["lo"]), hi=jnp.asarray(nodes["hi"]),
+        first=jnp.asarray(nodes["first"]), count=jnp.asarray(nodes["count"]),
+        skip=jnp.asarray(nodes["skip"]),
+    )
+    scene = dc.replace(scene, bvh=bvh)
+    monkeypatch.setattr(intersect, "DENSE_ALGO", "woop-fused")
+    assert not intersect.uses_woop_kernel(scene)
+    assert not intersect.dispatch_returns_uv(scene)
+    # and closest_hit actually runs (BVH walk) without touching Pallas
+    o = jnp.zeros((8, 3), jnp.float32)
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]], jnp.float32), (8, 1))
+    hit = intersect.closest_hit(scene, o, d)
+    assert hit.u is None
