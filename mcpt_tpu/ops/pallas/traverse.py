@@ -624,17 +624,22 @@ def any_hit_treelets_impl(
 
 
 def _ray_sort_order(ts: TreeletSet, org, dirn):
-    """Permutation grouping rays by (direction octant, origin Morton code).
+    """Permutation grouping rays by (direction octant, origin Morton,
+    direction Morton).
 
     The kernel's per-tile cost is the UNION of treelets any ray in the
     tile wants, so incoherent (bounce/shadow) batches pay the union's
     width. Round 3 sorted by (first superblock, entry depth) via a full
-    [R, NSp] slab pre-pass; round 4 measured a 3-bit direction octant +
-    21-bit interleaved origin Morton key BETTER on the bathroom stress
-    (closest 33.9 -> 30.3 ms/iter at spp=8: spatial-directional locality
-    groups deep-bounce rays that the entry-superblock key scatters) AND
-    cheaper (no slab pass, one argsort ~0.4 ms at 32k). Scene bounds come
-    from the superblock table.
+    [R, NSp] slab pre-pass; round 4 measured a spatial-directional Morton
+    key better in-program on the bathroom stress (closest 33.9 -> 30.3
+    ms/iter at spp=8: it groups deep-bounce rays the entry-superblock key
+    scatters) AND cheaper (no slab pass, one argsort ~0.4 ms at 32k).
+    The direction Morton MINOR bits cover the degenerate-but-common case
+    where every origin coincides (camera-ray batches from one eye point:
+    origin bits are all equal and the octant alone left tiles mixing
+    wildly different directions — measured 0.7 vs 1.5 Mrays/s on 65k
+    position-scrambled primaries without them). Scene bounds come from
+    the superblock table.
     """
     lo = ts.sb_box[0:3, :].T  # [NSp, 3]
     hi = ts.sb_box[3:6, :].T
@@ -642,11 +647,12 @@ def _ray_sort_order(ts: TreeletSet, org, dirn):
     smin = jnp.where(valid[:, None], lo, jnp.inf).min(axis=0)
     smax = jnp.where(valid[:, None], hi, -jnp.inf).max(axis=0)
     ext = jnp.maximum(smax - smin, 1e-6)
-    q = jnp.clip((org - smin) / ext * 127.0, 0, 127).astype(jnp.int32)
+    q = jnp.clip((org - smin) / ext * 31.0, 0, 31).astype(jnp.int32)  # 5b
+    qd = jnp.clip((dirn * 0.5 + 0.5) * 15.0, 0, 15).astype(jnp.int32)  # 4b
 
-    def spread(x):  # interleave 7 bits with 2-bit gaps
+    def spread(x, bits):  # interleave `bits` bits with 2-bit gaps
         r = jnp.zeros_like(x)
-        for b in range(7):
+        for b in range(bits):
             r = r | (((x >> b) & 1) << (3 * b))
         return r
 
@@ -655,8 +661,10 @@ def _ray_sort_order(ts: TreeletSet, org, dirn):
         | ((dirn[:, 1] > 0).astype(jnp.int32) << 1)
         | (dirn[:, 2] > 0).astype(jnp.int32)
     )
-    morton = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
-    return jnp.argsort((octant << 21) | morton, stable=True)
+    m_o = (spread(q[:, 0], 5) << 2) | (spread(q[:, 1], 5) << 1) | spread(q[:, 2], 5)
+    m_d = (spread(qd[:, 0], 4) << 2) | (spread(qd[:, 1], 4) << 1) | spread(qd[:, 2], 4)
+    key = (octant << 27) | (m_o << 12) | m_d  # 3 + 15 + 12 = 30 bits
+    return jnp.argsort(key, stable=True)
 
 
 def _default_interpret() -> bool:
