@@ -67,14 +67,24 @@ def film_to_image_order(film: Film, n_tiles: int) -> Film:
 
 
 def film_from_image_order(film: Film, mesh) -> Film:
-    """Inverse of film_to_image_order + re-shard (checkpoint resume path)."""
+    """Inverse of film_to_image_order + re-shard (checkpoint resume path).
+
+    Every leaf moves onto THIS mesh's devices (the film may come from a
+    renderer on a different mesh shape, or from a host checkpoint): the
+    scalar counters replicate, the accumulator row-shards.
+    """
+    from jax.sharding import NamedSharding
+
     nt = mesh.shape["tiles"]
     H, W, _ = film.accum.shape
     rows = H // nt
-    acc = film.accum.reshape(rows, nt, W, 3).transpose(1, 0, 2, 3)
+    acc = jnp.asarray(film.accum).reshape(rows, nt, W, 3).transpose(1, 0, 2, 3)
+    rep = NamedSharding(mesh, P())
     return Film(
         accum=jax.device_put(acc.reshape(H, W, 3), film_sharding(mesh)),
-        spp=film.spp, nan_count=film.nan_count, rays=film.rays,
+        spp=jax.device_put(jnp.asarray(film.spp, jnp.float32), rep),
+        nan_count=jax.device_put(jnp.asarray(film.nan_count), rep),
+        rays=jax.device_put(jnp.asarray(film.rays, jnp.float32), rep),
     )
 
 

@@ -46,9 +46,13 @@ def test_cornell_render_matches_reference_golden_stats():
 def test_committed_renders_are_not_degenerate():
     """The other committed renders exist and are neither black nor blown
     out (a cheap pin against a silently-broken integrator)."""
-    for name in ("veach-mis.obj64.png", "bathroom-stress.obj32.png"):
-        path = os.path.join(RESULTS, name)
-        if not os.path.exists(path):
-            pytest.skip(f"{name} not present")
+    import glob
+
+    found = []
+    for pat in ("veach-mis.obj*.png", "bathroom-stress.obj*.png"):
+        found += glob.glob(os.path.join(RESULTS, pat))
+    if not found:
+        pytest.skip("no committed veach/bathroom renders present")
+    for path in found:
         mean = _mean_rgb(path)
-        assert 0.05 < mean.mean() < 0.95, (name, mean)
+        assert 0.05 < mean.mean() < 0.95, (path, mean)

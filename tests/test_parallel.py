@@ -68,3 +68,31 @@ def test_nan_count_reduced_over_mesh(cornell_scene, devices):
     sr = ShardedRenderer(cornell_scene, mesh=mesh, width=16, height=16, max_bounces=4)
     sr.step()
     assert int(sr.film.nan_count) == 0
+
+
+def test_sharded_checkpoint_portable_across_mesh_shapes(cornell_scene, devices):
+    """A film checkpointed from a 4-tile renderer resumes on a 2-tile mesh
+    (and single-device) bitwise: the public film API is image-order, so
+    the interleaved storage layout never leaks into checkpoints."""
+    spp = 4
+    sr4 = ShardedRenderer(
+        cornell_scene, mesh=make_mesh(4, 1, devices=devices[:4]), width=32,
+        height=32, max_bounces=4, spp_per_pass=2, seed=0,
+    )
+    sr4.step()  # 2 spp
+    saved = sr4.film  # image order (property)
+
+    # resume the remaining 2 spp on a DIFFERENT mesh shape
+    sr2 = ShardedRenderer(
+        cornell_scene, mesh=make_mesh(2, 1, devices=devices[:2]), width=32,
+        height=32, max_bounces=4, spp_per_pass=2, seed=0,
+    )
+    sr2.film = saved  # setter re-shards into 2-tile interleaved storage
+    sr2.sample_idx = 2
+    sr2.step()
+
+    single = _single(cornell_scene, 32, 32, spp, seed=0, bounces=4)
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(sr2.film.accum)), single,
+        rtol=2e-6, atol=2e-6,
+    )
