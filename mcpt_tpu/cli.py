@@ -201,11 +201,15 @@ def cmd_inverse(args) -> int:
     assert target.shape == (H, W, 3), f"target {target.shape} != image {(H, W, 3)}"
 
     init = extract_params(scene)
-    # start from a neutral guess: mid-gray albedo, dim lights
+    # start: mid-gray albedo; emission from the brightest target pixels —
+    # emitters visible in the target carry ~their radiance directly (the
+    # bounce-0 shortcut, src/Render.cpp:121-122), and Adam's normalized
+    # step cannot cross a 1 -> ~40 scale gap in a 500-step budget
+    rad0 = jnp.max(target.reshape(-1, 3), axis=0)
     guess = type(init)(
         kd=jnp.full_like(init.kd, 0.5),
         ks=init.ks,
-        radiance=jnp.where(init.radiance > 0, 1.0, 0.0),
+        radiance=jnp.where(init.radiance > 0, rad0[None, :], 0.0),
     )
 
     def progress(i, loss, params):
@@ -218,6 +222,7 @@ def cmd_inverse(args) -> int:
         checkpoint_path=args.checkpoint or "inverse.ckpt.npz",
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
+        radiance_lr=args.radiance_lr or None,  # 0 -> share --lr
     )
     out = args.out or "inverse_params.npz"
     np.savez(out, kd=np.asarray(params.kd), ks=np.asarray(params.ks),
@@ -282,6 +287,10 @@ def main(argv=None) -> int:
     pi.add_argument("--target", required=True, help="target image (.png or .npz)")
     pi.add_argument("--steps", type=int, default=500)
     pi.add_argument("--lr", type=float, default=2e-2)
+    pi.add_argument("--radiance-lr", type=float, default=0.2,
+                    help="separate Adam rate for emission (radiance lives "
+                         "on a ~40x larger scale than reflectance; 0 = "
+                         "share --lr)")
     pi.add_argument("--out", default=None, help="output params .npz")
     pi.add_argument("--checkpoint", default=None,
                     help="optimizer-state checkpoint path (.npz, default "

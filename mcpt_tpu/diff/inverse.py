@@ -158,14 +158,17 @@ def run_inverse(
     checkpoint_path: Optional[str] = None,
     checkpoint_every: int = 0,
     resume: Optional[str] = None,
+    radiance_lr: Optional[float] = None,
 ):
     """Adam loop. Returns (final_params, loss_history).
 
     `checkpoint_every > 0` writes the full optimizer state (params + Adam
     moments + step) every N steps; `resume` restarts from such a file.
+    `radiance_lr` gives emission its own Adam rate (see make_inverse_step).
     """
     init, step_fn = make_inverse_step(
-        scene, target, spp, max_bounces, learning_rate, param_mask
+        scene, target, spp, max_bounces, learning_rate, param_mask,
+        radiance_lr=radiance_lr,
     )
     state = init(init_params)
     if resume:
