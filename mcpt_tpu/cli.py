@@ -131,7 +131,11 @@ def cmd_render(args) -> int:
             pv = args.preview or f"{name}.preview.png"
             save(r.film, pv)
             print(f"[render] preview @ {spp} spp -> {pv}")
-        if args.checkpoint_every and spp % args.checkpoint_every == 0:
+        # same crossing test as previews: `spp % N == 0` silently never
+        # fires when N is not a multiple of the spp_per_pass stride
+        if (args.checkpoint_every
+                and spp // args.checkpoint_every
+                > prev_spp // args.checkpoint_every):
             ck = args.checkpoint or f"{name}.ckpt.npz"
             checkpoint_save(r.film, ck, args.seed, spp)
             print(f"[render] checkpoint -> {ck}")

@@ -9,7 +9,6 @@ data-parallel training with gradient all-reduce (SURVEY §2.3).
 """
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Callable, NamedTuple, Optional
 
@@ -51,29 +50,36 @@ def make_inverse_step(
     (cornell light 42.98 vs kd <= 1), so a shared 2e-2 rate cannot cross
     that distance in the BASELINE 500-step budget.
     """
-    if radiance_lr is None:
-        opt = optax.adam(learning_rate)
-    else:
+    # the optimizer is built lazily at init() because the multi_transform
+    # label tree must MATCH the param structure: a params pytree carrying
+    # dverts keeps it (labeled "slow") — round-4 advisor: silently stripping
+    # dverts changed the returned structure and lost the vertex field.
+    _opt_box = []
+
+    def _make_opt(params: SceneParams):
+        if radiance_lr is None:
+            return optax.adam(learning_rate)
         labels = SceneParams(
             kd="slow", ks="slow", radiance="fast",
-            dverts=None,  # matches params built without a vertex field
+            dverts=None if params.dverts is None else "slow",
         )
-        opt = optax.multi_transform(
+        return optax.multi_transform(
             {"slow": optax.adam(learning_rate),
              "fast": optax.adam(radiance_lr)},
             labels,
         )
 
     def init(params: SceneParams) -> InverseState:
-        p = params
-        if radiance_lr is not None and p.dverts is not None:
-            # label pytree carries dverts=None; align the param structure
-            # (the vertex field is frozen in this mode anyway)
-            p = dataclasses.replace(p, dverts=None)
-        return InverseState(params=p, opt_state=opt.init(p), step=jnp.zeros((), jnp.int32))
+        _opt_box.clear()
+        _opt_box.append(_make_opt(params))
+        return InverseState(
+            params=params, opt_state=_opt_box[0].init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
 
     @jax.jit
     def step_fn(state: InverseState, key) -> tuple:
+        opt = _opt_box[0]  # init() must run first (it builds the optimizer)
         k = jax.random.fold_in(key, state.step)
         loss, grads = jax.value_and_grad(mse_loss_dual)(
             state.params, scene, target, k, spp, max_bounces

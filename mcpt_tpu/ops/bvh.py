@@ -175,10 +175,17 @@ def attach_bvh(
         )
         scene = dataclasses.replace(scene, treelets=treelets)
     else:
-        from mcpt_tpu.ops.intersect import DENSE_ALGO, DENSE_KERNEL_MIN_TRIS
+        from mcpt_tpu.ops.intersect import (
+            BRUTE_FORCE_MAX_TRIS,
+            DENSE_ALGO,
+            DENSE_KERNEL_MIN_TRIS,
+        )
 
+        # only when the fused kernel would actually win dispatch: past
+        # BRUTE_FORCE_MAX_TRIS (with a BVH attached) the skip-link walk
+        # takes over and the WoopSet would be dead weight in HBM
         if (DENSE_ALGO == "woop-fused"
-                and scene.num_tris > DENSE_KERNEL_MIN_TRIS):
+                and DENSE_KERNEL_MIN_TRIS < scene.num_tris <= BRUTE_FORCE_MAX_TRIS):
             # fused-kernel mode: precompute its tables once (packing
             # inside the wavefront loop is not hoisted by XLA); jitted so
             # the build is one device program, not dozens of eager

@@ -430,7 +430,8 @@ _VALID_DENSE = ("woop", "woop-xla", "woop-fused", "mt")
 if DENSE_ALGO not in _VALID_DENSE:
     raise ValueError(
         f"MCPT_INTERSECT={DENSE_ALGO!r} is not one of {_VALID_DENSE}; unknown "
-        "values used to fall back to Woop silently, which hid typos"
+        "values used to fall back to Woop silently, which hid typos. "
+        "('pallas' was removed in round 4 — use 'woop' or 'woop-fused'.)"
     )
 
 # Below this the fused kernel's fixed per-tile costs lose to the fully
@@ -447,7 +448,8 @@ TRAVERSAL = _os.environ.get("MCPT_TRAVERSAL", "auto")
 _VALID_TRAVERSAL = ("auto", "treelets", "bvh")
 if TRAVERSAL not in _VALID_TRAVERSAL:
     raise ValueError(
-        f"MCPT_TRAVERSAL={TRAVERSAL!r} is not one of {_VALID_TRAVERSAL}"
+        f"MCPT_TRAVERSAL={TRAVERSAL!r} is not one of {_VALID_TRAVERSAL}. "
+        "('blocks' was removed in round 4 — use 'treelets' or 'bvh'.)"
     )
 
 
@@ -471,6 +473,11 @@ def uses_woop_kernel(scene) -> bool:
         # treelets unavailable — it returns Hit without u/v, so this
         # predicate MUST be False or the integrator would pick the slim
         # expander and dereference hit.u == None
+        return False
+    if scene.num_tris <= DENSE_KERNEL_MIN_TRIS:
+        # tiny scenes (cornell's 32 tris) lose badly in the kernel: the
+        # fully XLA-fused wave wins (round-4 advisor: the per-call packing
+        # fallback used to route them to the kernel anyway)
         return False
     return DENSE_ALGO == "woop-fused"
 
