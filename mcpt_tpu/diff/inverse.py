@@ -126,10 +126,19 @@ def checkpoint_save_inverse(state: InverseState, path: str) -> None:
     inverse config — resuming from params alone would reset Adam's first/
     second moments and change the trajectory.
     """
+    import os
+
     import numpy as np
 
     leaves, _ = jax.tree_util.tree_flatten(state)
-    np.savez(path, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+    # atomic (tmp + replace): a kill mid-write never corrupts the previous
+    # checkpoint — same contract as render/film.checkpoint_save
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **{f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)})
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def checkpoint_load_inverse(path: str, template: InverseState) -> InverseState:

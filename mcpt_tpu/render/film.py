@@ -71,16 +71,26 @@ def checkpoint_save(film: Film, path: str, seed: int, sample_idx: int) -> None:
 
     The reference's progressive accumulator is implicitly checkpointable
     (SURVEY §5); here it is explicit: any sample boundary can resume.
+    The write is ATOMIC (tmp file + os.replace): a process killed mid-write
+    (the fault-injection contract, tests/test_cli.py) can corrupt at most
+    the tmp file, never an existing checkpoint.
     """
-    np.savez(
-        path,
-        accum=np.asarray(film.accum),
-        spp=np.asarray(film.spp),
-        nan_count=np.asarray(film.nan_count),
-        rays=np.asarray(film.rays),
-        seed=seed,
-        sample_idx=sample_idx,
-    )
+    import os
+
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(
+            f,
+            accum=np.asarray(film.accum),
+            spp=np.asarray(film.spp),
+            nan_count=np.asarray(film.nan_count),
+            rays=np.asarray(film.rays),
+            seed=seed,
+            sample_idx=sample_idx,
+        )
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def checkpoint_load(path: str):

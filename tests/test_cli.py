@@ -43,6 +43,76 @@ def test_render_checkpoint_resume(tmp_path, capsys):
     np.testing.assert_array_equal(full, resumed)
 
 
+def test_fault_injection_kill_resume_bitwise(tmp_path):
+    """Kill a render mid-run (SIGKILL, no cleanup), resume from its last
+    checkpoint, and require the final film BITWISE equal to an
+    uninterrupted run (SURVEY §5 checkpoint/resume contract; the
+    counter-based RNG makes the recovered samples identical, and the
+    atomic checkpoint write guarantees the file we resume from is whole).
+    """
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    ck = str(tmp_path / "ck.npz")
+    png_resumed = str(tmp_path / "resumed.png")
+    png_full = str(tmp_path / "full.png")
+    base = [sys.executable, "-m", "mcpt_tpu.cli", "render", SCENE,
+            "--width", "32", "--height", "32", "--spp-per-pass", "1",
+            "--bounces", "2", "--no-bvh"]
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+
+    # victim: 64 spp (far more than it will live to finish), checkpoint
+    # every sample
+    proc = subprocess.Popen(
+        base + ["--spp", "64", "--checkpoint", ck, "--checkpoint-every", "1",
+                "--out", str(tmp_path / "never.png")],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if os.path.exists(ck):
+                break
+            if proc.poll() is not None:
+                raise AssertionError("render exited before first checkpoint")
+            time.sleep(0.05)
+        else:
+            raise AssertionError("no checkpoint appeared within 120 s")
+        # let it run a little past the checkpoint so the kill lands
+        # mid-pass, not at a tidy boundary
+        time.sleep(0.5)
+    finally:
+        proc.send_signal(signal.SIGKILL)  # exact PID, no cleanup handlers
+        proc.wait()
+
+    with np.load(ck) as z:
+        resumed_at = int(z["sample_idx"])
+    assert resumed_at >= 1
+
+    target_spp = resumed_at + 2  # a few more samples past the kill point
+    r = subprocess.run(
+        base + ["--spp", str(target_spp), "--resume", ck,
+                "--out", png_resumed],
+        env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+
+    r = subprocess.run(
+        base + ["--spp", str(target_spp), "--out", png_full],
+        env=env, capture_output=True, text=True,
+    )
+    assert r.returncode == 0, r.stderr
+
+    from PIL import Image
+
+    a = np.asarray(Image.open(png_resumed))
+    b = np.asarray(Image.open(png_full))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_render_seed_mismatch_rejected(tmp_path):
     ck = str(tmp_path / "ck.npz")
     main(["render", SCENE, "--width", "16", "--height", "16", "--spp", "1",
