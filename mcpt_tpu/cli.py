@@ -216,12 +216,36 @@ def cmd_inverse(args) -> int:
         radiance=jnp.where(init.radiance > 0, rad0[None, :], 0.0),
     )
 
+    # Identifiability (INVERSE_R04 finding): an emitter's own albedo is
+    # unconstrained by the image — its pixels are dominated by emission
+    # (~40x reflectance scale) and NEE never samples reflection off it with
+    # measurable weight, so its kd gradient is pure noise (measured
+    # kd_err_inf 0.33 including the emitter vs 0.0097 excluding). Default:
+    # freeze emitter kd via param_mask and REPORT it as unconstrained
+    # instead of silently emitting a garbage value.
+    unconstrained_kd = []
+    mask = None
+    if not args.optimize_emitter_albedo:
+        emissive = np.asarray(init.radiance).max(axis=1) > 0
+        if emissive.any():
+            unconstrained_kd = [int(i) for i in np.nonzero(emissive)[0]]
+            mask = type(init)(
+                kd=jnp.asarray(~emissive[:, None], jnp.float32)
+                * jnp.ones_like(init.kd),
+                ks=jnp.ones_like(init.ks),
+                radiance=jnp.ones_like(init.radiance),
+            )
+            print(f"[inverse] freezing kd of emissive material(s) "
+                  f"{unconstrained_kd}: unconstrained by the target "
+                  "(pass --optimize-emitter-albedo to override)")
+
     def progress(i, loss, params):
         print(f"[inverse] step {i}  loss {loss:.3e}", flush=True)
 
     params, losses = run_inverse(
         scene, target, guess, steps=args.steps, spp=args.spp,
         max_bounces=args.bounces, learning_rate=args.lr, seed=args.seed,
+        param_mask=mask,
         progress=progress,
         checkpoint_path=args.checkpoint or "inverse.ckpt.npz",
         checkpoint_every=args.checkpoint_every,
@@ -230,8 +254,11 @@ def cmd_inverse(args) -> int:
     )
     out = args.out or "inverse_params.npz"
     np.savez(out, kd=np.asarray(params.kd), ks=np.asarray(params.ks),
-             radiance=np.asarray(params.radiance), losses=np.asarray(losses))
-    print(json.dumps({"final_loss": losses[-1], "steps": len(losses), "out": out}))
+             radiance=np.asarray(params.radiance), losses=np.asarray(losses),
+             unconstrained_kd=np.asarray(unconstrained_kd, np.int32))
+    print(json.dumps({"final_loss": losses[-1], "steps": len(losses),
+                      "unconstrained_kd_materials": unconstrained_kd,
+                      "out": out}))
     return 0
 
 
@@ -303,6 +330,10 @@ def main(argv=None) -> int:
                     help="write the full Adam state every N steps")
     pi.add_argument("--resume", default=None,
                     help="resume from an optimizer-state checkpoint")
+    pi.add_argument("--optimize-emitter-albedo", action="store_true",
+                    help="also optimize the albedo of emissive materials "
+                         "(default: frozen + reported as unconstrained — "
+                         "an emitter's kd is unidentifiable from the image)")
     pi.set_defaults(fn=cmd_inverse, spp=4, bounces=6)
 
     pn = sub.add_parser("info", help="print scene statistics")

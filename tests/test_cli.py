@@ -125,6 +125,30 @@ def test_render_seed_mismatch_rejected(tmp_path):
               "--out", str(tmp_path / "b.png")])
 
 
+def test_inverse_reports_unconstrained_emitter_kd(tmp_path, capsys):
+    """The CLI inverse freezes emitter albedo by default and REPORTS it as
+    unconstrained (INVERSE_R04: emitter kd is unidentifiable — err 0.33
+    incl. emitter vs 0.0097 excluding)."""
+    rad = str(tmp_path / "target.npz")
+    assert main(["render", SCENE, "--width", "16", "--height", "16",
+                 "--spp", "1", "--bounces", "2", "--no-bvh",
+                 "--save-radiance", rad,
+                 "--out", str(tmp_path / "t.png")]) == 0
+    capsys.readouterr()
+    out = str(tmp_path / "params.npz")
+    assert main(["inverse", SCENE, "--width", "16", "--height", "16",
+                 "--target", rad, "--steps", "2", "--spp", "1",
+                 "--bounces", "2", "--no-bvh", "--out", out]) == 0
+    text = capsys.readouterr().out
+    stats = json.loads(text.strip().splitlines()[-1])
+    assert stats["unconstrained_kd_materials"], "emitter not reported"
+    z = np.load(out)
+    frozen = z["unconstrained_kd"]
+    assert len(frozen) >= 1
+    # frozen kd stayed at the 0.5 init (mask really froze it)
+    np.testing.assert_allclose(z["kd"][frozen], 0.5, atol=1e-6)
+
+
 def test_render_preview_every(tmp_path):
     """--preview-every writes intermediate tonemapped PNGs (the reference's
     progressive-display analog, src/main.cpp:26-36)."""
