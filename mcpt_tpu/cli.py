@@ -283,7 +283,25 @@ def cmd_info(args) -> int:
     return 0
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache for CLI runs.
+
+    bench.py and the test harness already use it; without this every CLI
+    process re-pays the full compile (measured 107.9 s for the bathroom
+    wavefront program, larger than many renders). MCPT_CACHE_DIR overrides
+    the location; MCPT_CACHE_DIR= (empty) disables.
+    """
+    cache = os.environ.get("MCPT_CACHE_DIR", "/tmp/mcpt_jax_cache")
+    if not cache:
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main(argv=None) -> int:
+    _enable_compile_cache()
     ap = argparse.ArgumentParser(prog="mcpt_tpu", description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
     sub = ap.add_subparsers(dest="cmd", required=True)
