@@ -132,9 +132,12 @@ def render_pass_sharded(
         # this device renders samples [start + si*local_spp, +local_spp) of
         # its pixel rows; the counter-based per-(pixel, sample) RNG makes the
         # result independent of this decomposition
+        from mcpt_tpu.render.integrator import chunk_rays_for
+
         local_start = start_idx + si.astype(jnp.int32) * local_spp
         radiance, local_rays, local_nan = trace_image_wavefront(
-            scene, cam, key, pixel_idx, local_start, local_spp, max_bounces
+            scene, cam, key, pixel_idx, local_start, local_spp, max_bounces,
+            chunk_rays=chunk_rays_for(scene),
         )
         local_acc = radiance.reshape(rows, W, 3)
         local_rays = local_rays.astype(jnp.float32)

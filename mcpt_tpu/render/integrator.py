@@ -536,6 +536,28 @@ def trace_paths(
 # 256k 91 — smaller chunks keep the while_loop state resident.
 DEFAULT_CHUNK_RAYS = 32768
 
+# Treelet (large) scenes want the OPPOSITE: the chunk is the treelet
+# kernel's ray-sort scope, and per-tile cost is the UNION of treelets the
+# tile's rays want — at 32k rays over ~11k treelets (bathroom) tiles are
+# inherently incoherent (~2.8 rays/treelet). Measured on v5e, scrambled
+# 1M-tri batches, voted kernel: 32k -> 131k -> 262k lanes gives 2065 ->
+# 1232 -> 1057 ns/ray (1.7-2.0x). 131072 keeps a spp=8 chunk program well
+# under the ~45 s per-execution wall-clock budget. MCPT_CHUNK_LANES
+# overrides both this and the dense default.
+TREELET_CHUNK_RAYS = 131072
+
+
+def chunk_rays_for(scene) -> int:
+    """Wavefront chunk size for `scene` (sort scope for treelet scenes)."""
+    import os
+
+    env = os.environ.get("MCPT_CHUNK_LANES")
+    if env:
+        return int(env)
+    from mcpt_tpu.ops.intersect import uses_treelets
+
+    return TREELET_CHUNK_RAYS if uses_treelets(scene) else DEFAULT_CHUNK_RAYS
+
 
 # ---------------------------------------------------------------------------
 # Wavefront-regeneration integrator (the fast primal path).

@@ -54,9 +54,12 @@ def render_pass_impl(
     from mcpt_tpu.render.film import Film
     from mcpt_tpu.render.integrator import trace_image_wavefront
 
+    from mcpt_tpu.render.integrator import chunk_rays_for
+
     pixel_idx = jnp.arange(R, dtype=jnp.int32)
     radiance, nrays, nan_ct = trace_image_wavefront(
-        scene, cam, key, pixel_idx, start_idx, spp_per_pass, max_bounces
+        scene, cam, key, pixel_idx, start_idx, spp_per_pass, max_bounces,
+        chunk_rays=chunk_rays_for(scene),
     )
     # pixel i = y*W + x (Render.cpp:63); film rows are y. NaNs were already
     # scrubbed per sample at path flush (counted in nan_ct).
@@ -107,7 +110,7 @@ def _film_update(film, radiance, nrays, nan_ct, spp_per_pass):
 
 
 def render_pass_chunked(scene, film, key, start_idx, max_bounces,
-                        spp_per_pass, chunk=HOST_CHUNK_LANES):
+                        spp_per_pass, chunk=None):
     """One pass as MANY bounded device executions (one per pixel chunk).
 
     Bitwise-identical to render_pass (chunk-invariant RNG, tested in
@@ -115,8 +118,14 @@ def render_pass_chunked(scene, film, key, start_idx, max_bounces,
     exceed the runtime's per-execution wall-clock limit (large images x
     heavy scenes). The chunk program compiles once and is re-executed.
     """
+    from mcpt_tpu.render.integrator import chunk_rays_for
+
     cam = scene.camera
     R = cam.width * cam.height
+    if chunk is None:
+        # the chunk is ALSO the treelet ray-sort scope: large scenes use a
+        # bigger chunk for tile coherence (integrator.chunk_rays_for)
+        chunk = chunk_rays_for(scene)
     n_chunks = -(-R // chunk)
     Rp = n_chunks * chunk
     pidx = jnp.concatenate(
@@ -168,8 +177,10 @@ class Renderer:
     def step(self) -> Film:
         """Render one pass (spp_per_pass samples/pixel). Returns the film."""
         t0 = time.perf_counter()
+        from mcpt_tpu.render.integrator import chunk_rays_for
+
         R = self.scene.camera.width * self.scene.camera.height
-        if R > HOST_CHUNK_LANES:
+        if R > chunk_rays_for(self.scene):
             # many bounded executions (see render_pass_chunked: the TPU
             # runtime kills single executions past a wall-clock limit)
             self.film = render_pass_chunked(
