@@ -872,6 +872,303 @@ def trace_image_wavefront(
     return L, nrays, nan_ct
 
 
+# ---------------------------------------------------------------------------
+# Two-program pipelined wavefront (host-driven).
+#
+# The while-loop wavefront above is optimal for pure-XLA dispatches (XLA
+# pins the loop carries in VMEM; the integrator shell costs ~0.3 ms/iter on
+# veach). But ANY Pallas custom-call inside the while body inflates every
+# neighboring XLA fusion ~12x (PERF_NOTES r4: shell 0.29 -> 4.5 ms/iter on
+# veach, ~37 ms/iter on the 131k bathroom chunk — 24% of the iteration).
+# The fix is structural: split each wavefront iteration into TWO device
+# programs dispatched from the host —
+#
+#   P (trace):  closest_hit(ray batch) + any_hit(shadow batch) — the
+#               Pallas kernels, with nothing around them to inflate
+#   X (shade):  the ENTIRE integrator shell as a pure-XLA program (no
+#               custom calls -> fusions stay fused and fast)
+#
+# and pipeline the NEE occlusion one iteration: the shadow ray built at
+# vertex k is tested by P(k+1) and its contribution lands at X(k+1) BEFORE
+# emission(k+1) — the exact add order of the fused loop, so L_sum is
+# BITWISE-equal to trace_wavefront (tested). Lanes dying at a vertex
+# already survive one iteration for the reference's look-ahead emission
+# (Render.cpp:146-170); the deferred shadow test rides that same
+# iteration, so occupancy is unchanged. The host queues P/X pairs
+# asynchronously (no readbacks between dispatches) and polls the lane
+# count with a LOOKAHEAD lag, so the device never idles on the relay.
+# ---------------------------------------------------------------------------
+
+
+def split_state0(R: int, spp: int, lane_valid=None):
+    """Initial pipelined-wavefront state (all lanes dead, nothing pending).
+
+    Every field is a DISTINCT buffer (no shared zeros): the state dict is
+    donated whole to the shade program, and donating one buffer twice is a
+    runtime error.
+    """
+    def zero3():
+        return jnp.zeros((R, 3))
+
+    s_init = (
+        jnp.zeros((R,), jnp.int32)
+        if lane_valid is None
+        else jnp.where(lane_valid, 0, spp)
+    )
+    return {
+        "s": s_init,
+        "sid": jnp.zeros((R,), jnp.uint32),
+        "b": jnp.zeros((R,), jnp.int32),
+        "o": jnp.full((R, 3), 1e30),
+        "d": jnp.ones((R, 3)),
+        "so": jnp.full((R, 3), 1e30),  # pending shadow ray
+        "sd": jnp.ones((R, 3)),
+        "smax": jnp.zeros((R,)),
+        "prev_pdf": jnp.zeros((R,)),
+        "prev_mirror": jnp.zeros((R,), bool),
+        "rr_boost": jnp.ones((R,)),
+        "last_leg": jnp.zeros((R,), bool),
+        "pend_ok": jnp.zeros((R,), bool),
+        "pend_contrib": zero3(),
+        "L_path": zero3(),
+        "L_sum": zero3(),
+        "beta": jnp.ones((R, 3)),
+        "alive": jnp.zeros((R,), bool),  # not yet flushed
+        "tracing": jnp.zeros((R,), bool),  # current ray is real
+        "nrays": jnp.zeros((), jnp.int32),
+        "nan_ct": jnp.zeros((), jnp.int32),
+        "iters": jnp.zeros((), jnp.int32),
+    }
+
+
+def split_trace(scene: Scene, o, d, so, sd, smax):
+    """Program P: one closest + one shadow any-hit, nothing else.
+
+    Returns (hit_t, hit_tri, hit_u, hit_v, occl); u/v are zeros when the
+    dispatch path does not compute them (the shade step's expander then
+    re-derives barycentrics and ignores these).
+    """
+    t_min = RAY_EPS_REL * scene.scale
+    hit = closest_hit(scene, o, d, t_min=t_min)
+    occ = any_hit(scene, so, sd, t_min=t_min, t_max=smax)
+    u = hit.u if hit.u is not None else jnp.zeros_like(hit.t)
+    v = hit.v if hit.v is not None else jnp.zeros_like(hit.t)
+    return hit.t, hit.tri, u, v, occ
+
+
+def split_shade(
+    scene: Scene,
+    st: dict,
+    hit_t,
+    hit_tri,
+    hit_u,
+    hit_v,
+    occl,
+    key,
+    pixel_idx,
+    start_idx,
+    spp: int,
+    max_bounces: int,
+):
+    """Program X: the full integrator shell for one wavefront iteration.
+
+    Same math, same RNG draws, same ADD ORDER as trace_wavefront's body
+    (bitwise-equal L_sum, tested in tests/test_integrator.py); see the
+    section comment for the NEE pipelining argument. Returns
+    (st', n_pending) where n_pending == 0 means the chunk is finished.
+    """
+    from mcpt_tpu.ops.intersect import Hit, dispatch_returns_uv
+    from mcpt_tpu.render.camera import generate_rays
+    from mcpt_tpu.utils.rng import MAX_TAGS, sample_uniforms
+
+    assert max_bounces + 1 < MAX_TAGS
+    R = pixel_idx.shape[0]
+    n_lights = scene.num_lights
+    expand = make_expander(scene)
+    light_table = pack_light_table(scene) if n_lights > 0 else None
+    pix_u32 = pixel_idx.astype(jnp.uint32)
+    start_u32 = jnp.asarray(start_idx, jnp.uint32)
+
+    s, sid, b = st["s"], st["sid"], st["b"]
+    o, d = st["o"], st["d"]
+    prev_pdf, prev_mirror = st["prev_pdf"], st["prev_mirror"]
+    rr_boost, last_leg = st["rr_boost"], st["last_leg"]
+    L_path, L_sum, beta = st["L_path"], st["L_sum"], st["beta"]
+    alive, tracing = st["alive"], st["tracing"]
+    nrays, nan_ct = st["nrays"], st["nan_ct"]
+
+    # ---- resolve the PREVIOUS vertex's NEE with its occlusion result
+    # (lands before this vertex's emission -> the fused loop's add order)
+    L_path = L_path + jnp.where(
+        (st["pend_ok"] & ~occl)[:, None], st["pend_contrib"], 0.0
+    )
+
+    # ---- expand the hit P just returned
+    if dispatch_returns_uv(scene):
+        hit = Hit(t=hit_t, tri=hit_tri, u=hit_u, v=hit_v)
+    else:
+        hit = Hit(t=hit_t, tri=hit_tri)
+    h = expand(hit, o, d)
+    valid = tracing & h.valid
+
+    # ---- emission at the reached vertex (identical to trace_wavefront)
+    emis_norm = jnp.sqrt(jnp.sum(h.radiance * h.radiance, axis=-1))
+    b0 = b == 0
+    L_path = L_path + jnp.where(
+        (valid & b0 & (emis_norm > EMIT_DIRECT_THRESH))[:, None], h.radiance, 0.0
+    )
+    dl = o - h.point
+    dist2l = jnp.sum(dl * dl, axis=-1)
+    cos_nl = dot(normalize(dl, eps=1e-30), h.normal)
+    light_pdf = jnp.where(
+        cos_nl != 0.0,
+        dist2l
+        / jnp.where(cos_nl != 0.0, cos_nl, 1.0)
+        / jnp.maximum(float(max(n_lights, 1)), 1.0)
+        / jnp.maximum(h.area, 1e-30),
+        0.0,
+    )
+    w_hit = power_heuristic(prev_pdf, light_pdf)
+    hit_light = valid & ~b0 & (emis_norm > 0.0) & h.front
+    emit_contrib = jnp.where(
+        prev_mirror[:, None], beta * h.radiance, beta * h.radiance * w_hit[:, None]
+    )
+    L_path = L_path + jnp.where(hit_light[:, None], emit_contrib, 0.0)
+
+    beta = beta * rr_boost[:, None]
+    rr_boost = jnp.ones((R,))
+
+    # ---- vertex shading
+    at_vertex = valid & ~last_leg
+    u = sample_uniforms(key, pix_u32, sid, (b + 1).astype(jnp.uint32), 7)
+    kd_tex = apply_texture(scene, h)
+    lobes = build_lobes(kd_tex, h.ks, h.ns)
+    onb = make_onb(h.normal)
+    wo_local = to_local(onb, -d)
+
+    # NEE: build this vertex's shadow ray + contribution, resolved at the
+    # NEXT shade step with P's occlusion answer
+    if n_lights > 0:
+        lpoint, lnrm, lrad, larea = sample_light_point(
+            light_table, n_lights, u[:, 0], u[:, 1], u[:, 2]
+        )
+        dnee = lpoint - h.point
+        dist2 = jnp.sum(dnee * dnee, axis=-1)
+        dist = jnp.sqrt(dist2)
+        wl = dnee / jnp.maximum(dist, 1e-30)[:, None]
+        cos_l = dot(-wl, lnrm)
+        pdf_l = jnp.where(
+            cos_l != 0.0,
+            dist2 / jnp.where(cos_l != 0.0, cos_l, 1.0) / jnp.maximum(larea, 1e-30),
+            0.0,
+        )
+        pdf_l = jnp.where(jnp.isfinite(pdf_l), pdf_l, 0.0)
+        wl_local = to_local(onb, wl)
+        bp = bsdf_pdf(lobes, wo_local, wl_local)
+        w_mis = power_heuristic(pdf_l / n_lights, bp)
+        fx = bsdf_fx(lobes, wo_local, wl_local)
+        cos_s = jnp.abs(dot(h.normal, wl))
+        pdf_ok = jnp.abs(pdf_l) > 1e-20
+        contrib = (
+            w_mis[:, None]
+            * beta
+            * lrad
+            * fx
+            * (cos_s / jnp.where(pdf_ok, pdf_l, 1.0))[:, None]
+            * n_lights
+        )
+        pend_ok = at_vertex & pdf_ok
+        pend_contrib = jnp.where(pend_ok[:, None], contrib, 0.0)
+        so = h.point
+        sd = wl
+        smax = jnp.where(at_vertex, dist * (1.0 - 1e-3), 0.0)
+        nrays = nrays + jnp.sum(at_vertex.astype(jnp.int32))
+    else:
+        pend_ok = jnp.zeros((R,), bool)
+        pend_contrib = jnp.zeros((R, 3))
+        so = jnp.full((R, 3), 1e30)
+        sd = jnp.ones((R, 3))
+        smax = jnp.zeros((R,))
+
+    # BSDF sampling + RR (identical to trace_wavefront)
+    wi_local, f, pdf, is_mirror = bsdf_sample(
+        lobes, wo_local, u[:, 3], u[:, 4], u[:, 5]
+    )
+    bsdf_ok = jnp.abs(pdf) > 1e-24
+    wi_world = to_world(onb, wi_local)
+    cos_s2 = jnp.abs(dot(h.normal, wi_world))
+    beta_new = beta * f * (cos_s2 / jnp.where(bsdf_ok, pdf, 1.0))[:, None]
+    cont = at_vertex & bsdf_ok
+    beta = jnp.where(cont[:, None], beta_new, beta)
+
+    q = jnp.minimum(jnp.max(beta, axis=-1), RR_CLAMP)
+    do_rr = (b > RR_START_BOUNCE) & cont
+    killed = do_rr & (u[:, 6] > q)
+    survived = do_rr & ~killed
+    rr_boost = jnp.where(survived, 1.0 / jnp.maximum(q, 1e-30), 1.0)
+    last_leg = killed | (b >= max_bounces - 1)
+
+    o = jnp.where(cont[:, None], h.point, o)
+    d = jnp.where(cont[:, None], wi_world, d)
+    prev_pdf = jnp.where(cont, pdf, prev_pdf)
+    prev_mirror = jnp.where(cont, is_mirror, prev_mirror)
+    b = jnp.where(cont, b + 1, b)
+
+    # ---- flush. A lane with an unresolved NEE but no continuation (pdf
+    # underflow at the sampled lobe) becomes a ZOMBIE: alive (unflushed)
+    # but not tracing; its pending contribution lands next shade step,
+    # then it flushes. Lanes that died tracing their look-ahead leg have
+    # already resolved everything.
+    alive_next = cont | pend_ok
+    flushed = alive & ~alive_next
+    nan_mask = jnp.isnan(L_path) & flushed[:, None]
+    nan_ct = nan_ct + jnp.sum(nan_mask).astype(jnp.int32)
+    L_clean = jnp.where(nan_mask, 0.0, L_path)
+    L_sum = L_sum + jnp.where(flushed[:, None], L_clean, 0.0)
+    alive = alive_next
+    tracing = cont
+
+    # ---- regenerate dead lanes for the NEXT trace
+    start_new = (~alive) & (s < spp)
+    sid_new = start_u32 + s.astype(jnp.uint32)
+    jit2 = sample_uniforms(key, pix_u32, sid_new, 0, 2)
+    cam = scene.camera
+    o_new, d_new = generate_rays(cam, jit2, pixel_idx)
+    sn = start_new[:, None]
+    o = jnp.where(sn, o_new, o)
+    d = jnp.where(sn, d_new, d)
+    sid = jnp.where(start_new, sid_new, sid)
+    b = jnp.where(start_new, 0, b)
+    beta = jnp.where(sn, 1.0, beta)
+    L_path = jnp.where(sn, 0.0, L_path)
+    prev_pdf = jnp.where(start_new, 0.0, prev_pdf)
+    prev_mirror = jnp.where(start_new, False, prev_mirror)
+    rr_boost = jnp.where(start_new, 1.0, rr_boost)
+    last_leg = jnp.where(start_new, False, last_leg)
+    s = jnp.where(start_new, s + 1, s)
+    alive = alive | start_new
+    tracing = tracing | start_new
+
+    # park non-tracing lanes far outside every AABB (they sort into empty
+    # tiles that exit immediately — same trick as trace_wavefront)
+    o = jnp.where(tracing[:, None], o, 1e30)
+    d = jnp.where(tracing[:, None], d, 1.0)
+    nrays = nrays + jnp.sum(tracing.astype(jnp.int32))
+
+    st2 = {
+        "s": s, "sid": sid, "b": b, "o": o, "d": d,
+        "so": so, "sd": sd, "smax": smax,
+        "prev_pdf": prev_pdf, "prev_mirror": prev_mirror,
+        "rr_boost": rr_boost, "last_leg": last_leg,
+        "pend_ok": pend_ok, "pend_contrib": pend_contrib,
+        "L_path": L_path, "L_sum": L_sum, "beta": beta,
+        "alive": alive, "tracing": tracing,
+        "nrays": nrays, "nan_ct": nan_ct, "iters": st["iters"] + 1,
+    }
+    n_pending = jnp.sum((alive | (s < spp)).astype(jnp.int32))
+    return st2, n_pending
+
+
 def trace_image(
     scene: Scene,
     cam,

@@ -97,6 +97,110 @@ def _render_chunk(scene, pidx, lane_valid, key, start_idx, max_bounces,
     )
 
 
+# ---------------------------------------------------------------------------
+# Host-driven pipelined wavefront (integrator.split_trace / split_shade).
+# Selected for scenes whose dispatch contains Pallas kernels: keeping the
+# kernels in their own program P and the shell in a pure-XLA program X
+# sidesteps the fusion-inflation poison pill (PERF_NOTES r4). Dispatches
+# queue asynchronously; the lane count is polled LOOKAHEAD iterations
+# behind, so the device never waits on the relay.
+# ---------------------------------------------------------------------------
+
+SPLIT_LOOKAHEAD = 4
+
+
+@jax.jit
+def _split_trace_jit(scene, o, d, so, sd, smax):
+    from mcpt_tpu.render.integrator import split_trace
+
+    return split_trace(scene, o, d, so, sd, smax)
+
+
+@partial(jax.jit, donate_argnames=("st",),
+         static_argnames=("spp", "max_bounces"))
+def _split_shade_jit(scene, st, hit_t, hit_tri, hit_u, hit_v, occl, key,
+                     pidx, start_idx, spp, max_bounces):
+    from mcpt_tpu.render.integrator import split_shade
+
+    return split_shade(scene, st, hit_t, hit_tri, hit_u, hit_v, occl, key,
+                       pidx, start_idx, spp, max_bounces)
+
+
+def wavefront_mode(scene) -> str:
+    """'split' (host-driven two-program loop) or 'loop' (lax.while_loop).
+
+    auto: split exactly when the dispatch path contains Pallas kernels
+    (treelet scenes, or MCPT_INTERSECT=woop-fused past the size gate) —
+    pure-XLA dispatches keep the fused loop, which XLA serves better
+    (carries pinned in VMEM). MCPT_WAVEFRONT=loop|split forces either.
+    """
+    import os
+
+    from mcpt_tpu.ops.intersect import uses_treelets, uses_woop_kernel
+
+    mode = os.environ.get("MCPT_WAVEFRONT", "auto")
+    if mode not in ("auto", "loop", "split"):
+        raise ValueError(f"MCPT_WAVEFRONT={mode!r} not in auto|loop|split")
+    if mode != "auto":
+        return mode
+    return "split" if (uses_treelets(scene) or uses_woop_kernel(scene)) else "loop"
+
+
+def trace_chunk_split(scene, pidx, lane_valid, key, start_idx, max_bounces,
+                      spp_per_pass, lookahead=SPLIT_LOOKAHEAD):
+    """One wavefront chunk via the pipelined host loop.
+
+    Returns (L_sum [R,3], nrays, nan_ct, iters) — the trace_wavefront
+    contract, with BITWISE-equal radiance (same RNG draws, same add
+    order; tested). The loop hard-caps at spp*(max_bounces+3)+lookahead
+    iterations (a lane advances s or b every iteration, +1 zombie step).
+    """
+    import numpy as np
+
+    from mcpt_tpu.render.integrator import split_state0
+
+    R = int(pidx.shape[0])
+    st = split_state0(R, spp_per_pass, lane_valid)
+    start_idx = jnp.asarray(start_idx, jnp.int32)
+    # X0: pure regen (all lanes dead, dummy miss hit)
+    miss_t = jnp.full((R,), jnp.finfo(jnp.float32).max)
+    miss_tri = jnp.full((R,), -1, jnp.int32)
+    zeros = jnp.zeros((R,))
+    occ0 = jnp.zeros((R,), bool)
+    st, n_pend = _split_shade_jit(
+        scene, st, miss_t, miss_tri, zeros, zeros, occ0, key, pidx,
+        start_idx, spp_per_pass, max_bounces,
+    )
+    pending = [n_pend]
+    cap = spp_per_pass * (max_bounces + 3) + lookahead + 2
+    it = 0
+    while it < cap:
+        # poll the lane count `lookahead` iterations behind: the device
+        # keeps running the queued P/X pairs while the host blocks
+        if len(pending) > lookahead:
+            if int(np.asarray(pending.pop(0))) == 0:
+                break
+        hit_t, hit_tri, hit_u, hit_v, occ = _split_trace_jit(
+            scene, st["o"], st["d"], st["so"], st["sd"], st["smax"]
+        )
+        st, n_pend = _split_shade_jit(
+            scene, st, hit_t, hit_tri, hit_u, hit_v, occ, key, pidx,
+            start_idx, spp_per_pass, max_bounces,
+        )
+        pending.append(n_pend)
+        it += 1
+    else:
+        # cap reached: drain remaining polls (each extra pair is a no-op
+        # on an all-dead state, so the cap can never lose samples)
+        for p in pending:
+            if int(np.asarray(p)) != 0:
+                raise RuntimeError(
+                    "pipelined wavefront hit its iteration cap with lanes "
+                    f"pending (cap {cap}) — max_bounces/spp accounting bug"
+                )
+    return st["L_sum"], st["nrays"], st["nan_ct"], st["iters"]
+
+
 @partial(jax.jit, donate_argnames=("film",), static_argnames=("spp_per_pass",))
 def _film_update(film, radiance, nrays, nan_ct, spp_per_pass):
     H, W, _ = film.accum.shape
@@ -132,16 +236,24 @@ def render_pass_chunked(scene, film, key, start_idx, max_bounces,
         [jnp.arange(R, dtype=jnp.int32), jnp.zeros((Rp - R,), jnp.int32)]
     )
     lane_valid = jnp.arange(Rp) < R
+    split = wavefront_mode(scene) == "split"
     parts, nrays, nan_ct = [], jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32)
     for i in range(n_chunks):
         sl = slice(i * chunk, (i + 1) * chunk)
-        L, nr, nc, _ = _render_chunk(
-            scene, pidx[sl], lane_valid[sl], key, start_idx, max_bounces,
-            spp_per_pass,
-        )
+        if split:
+            L, nr, nc, _ = trace_chunk_split(
+                scene, pidx[sl], lane_valid[sl], key, start_idx,
+                max_bounces, spp_per_pass,
+            )
+        else:
+            L, nr, nc, _ = _render_chunk(
+                scene, pidx[sl], lane_valid[sl], key, start_idx, max_bounces,
+                spp_per_pass,
+            )
         # NO per-chunk host sync: executions queue on the device (each one
         # individually bounded, which is all the wall-clock limit cares
-        # about), and a readback here would serialize n_chunks round trips
+        # about; the split loop's lagged polls are likewise overlapped),
+        # and a readback here would serialize n_chunks round trips
         # through the remote-TPU relay (~3x slowdown measured at 32 chunks)
         nrays = nrays + nr
         nan_ct = nan_ct + nc
@@ -180,7 +292,7 @@ class Renderer:
         from mcpt_tpu.render.integrator import chunk_rays_for
 
         R = self.scene.camera.width * self.scene.camera.height
-        if R > chunk_rays_for(self.scene):
+        if R > chunk_rays_for(self.scene) or wavefront_mode(self.scene) == "split":
             # many bounded executions (see render_pass_chunked: the TPU
             # runtime kills single executions past a wall-clock limit)
             self.film = render_pass_chunked(

@@ -208,3 +208,52 @@ def test_host_chunked_pass_matches_single_program(cornell_scene):
     np.testing.assert_array_equal(np.asarray(a.accum), np.asarray(b.accum))
     assert float(a.rays) == float(b.rays)
     assert int(a.nan_count) == int(b.nan_count)
+
+
+def test_split_wavefront_bitwise_equals_fused_loop(cornell_scene):
+    """The host-driven two-program wavefront (renderer.trace_chunk_split)
+    must produce BITWISE-identical radiance to the fused lax.while_loop
+    integrator: same RNG draws and the NEE-deferral preserves the add
+    order exactly (see integrator's pipelined-wavefront section)."""
+    import jax.numpy as jnp
+
+    from mcpt_tpu.render.integrator import trace_wavefront
+    from mcpt_tpu.render.renderer import trace_chunk_split
+
+    scene = cornell_scene
+    R = 384
+    pidx = (jnp.arange(R, dtype=jnp.int32) * 97) % (
+        scene.camera.width * scene.camera.height
+    )
+    lv = jnp.ones((R,), bool)
+    key = jax.random.PRNGKey(11)
+    start = jnp.asarray(7, jnp.int32)
+    L0, nr0, nc0, _ = trace_wavefront(scene, scene.camera, key, pidx, start,
+                                      spp=3, max_bounces=5)
+    L1, nr1, nc1, _ = trace_chunk_split(scene, pidx, lv, key, start,
+                                        max_bounces=5, spp_per_pass=3)
+    np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
+    assert int(nr0) == int(nr1)
+    assert int(nc0) == int(nc1)
+
+
+def test_split_wavefront_renderer_pass(cornell_scene, monkeypatch):
+    """MCPT_WAVEFRONT=split routes Renderer.step through the pipelined
+    loop and matches the default pass bitwise."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from mcpt_tpu.render.film import make_film
+    from mcpt_tpu.render.renderer import render_pass, render_pass_chunked
+
+    cam = dc.replace(cornell_scene.camera, width=16, height=12)
+    scene = dc.replace(cornell_scene, camera=cam)
+    key = jax.random.PRNGKey(5)
+    start = jnp.asarray(0, jnp.int32)
+    a = render_pass(scene, make_film(12, 16), key, start, 4, 2)
+    monkeypatch.setenv("MCPT_WAVEFRONT", "split")
+    b = render_pass_chunked(scene, make_film(12, 16), key, start, 4, 2,
+                            chunk=64)
+    np.testing.assert_array_equal(np.asarray(a.accum), np.asarray(b.accum))
+    assert float(a.rays) == float(b.rays)
