@@ -539,16 +539,43 @@ DEFAULT_CHUNK_RAYS = 32768
 # Treelet (large) scenes want the OPPOSITE: the chunk is the treelet
 # kernel's ray-sort scope, and per-tile cost is the UNION of treelets the
 # tile's rays want — at 32k rays over ~11k treelets (bathroom) tiles are
-# inherently incoherent (~2.8 rays/treelet). Measured on v5e, scrambled
-# 1M-tri batches, voted kernel: 32k -> 131k -> 262k lanes gives 2065 ->
-# 1232 -> 1057 ns/ray (1.7-2.0x). 131072 keeps a spp=8 chunk program well
-# under the ~45 s per-execution wall-clock budget. MCPT_CHUNK_LANES
-# overrides both this and the dense default.
+# inherently incoherent (~2.8 rays/treelet). Measured on v5e, bathroom
+# 1280x720 e2e: 32k/131k/262k/524k/921k lanes give 0.8/0.94/1.0/1.1/1.2
+# Mrays/s — monotone in the sort scope. Under the pipelined split loop
+# each device execution is ONE wavefront iteration, so the runtime's
+# per-execution wall-clock limit no longer bounds the chunk; only memory
+# does (~30 [R]-lane state buffers). MCPT_CHUNK_LANES overrides.
 TREELET_CHUNK_RAYS = 131072
+SPLIT_CHUNK_RAYS_MAX = 1 << 21  # 2M lanes ~ 250 MB of wavefront state
+
+
+def wavefront_mode(scene) -> str:
+    """'split' (host-driven two-program loop) or 'loop' (lax.while_loop).
+
+    auto: split exactly when the dispatch path contains Pallas kernels
+    (treelet scenes, or MCPT_INTERSECT=woop-fused past the size gate) —
+    pure-XLA dispatches keep the fused loop, which XLA serves better
+    (carries pinned in VMEM). MCPT_WAVEFRONT=loop|split forces either.
+    """
+    import os
+
+    from mcpt_tpu.ops.intersect import uses_treelets, uses_woop_kernel
+
+    mode = os.environ.get("MCPT_WAVEFRONT", "auto")
+    if mode not in ("auto", "loop", "split"):
+        raise ValueError(f"MCPT_WAVEFRONT={mode!r} not in auto|loop|split")
+    if mode != "auto":
+        return mode
+    return "split" if (uses_treelets(scene) or uses_woop_kernel(scene)) else "loop"
 
 
 def chunk_rays_for(scene) -> int:
-    """Wavefront chunk size for `scene` (sort scope for treelet scenes)."""
+    """Wavefront chunk size for `scene` (sort scope for treelet scenes).
+
+    Split mode: the whole image in one chunk (capped) — maximum sort
+    coherence, and iteration-sized executions make the wall-clock limit
+    moot. Loop mode keeps execution-bounded chunks.
+    """
     import os
 
     env = os.environ.get("MCPT_CHUNK_LANES")
@@ -556,7 +583,13 @@ def chunk_rays_for(scene) -> int:
         return int(env)
     from mcpt_tpu.ops.intersect import uses_treelets
 
-    return TREELET_CHUNK_RAYS if uses_treelets(scene) else DEFAULT_CHUNK_RAYS
+    if not uses_treelets(scene):
+        return DEFAULT_CHUNK_RAYS
+    if wavefront_mode(scene) == "split":
+        cam = scene.camera
+        r = cam.width * cam.height
+        return min(max(r, DEFAULT_CHUNK_RAYS), SPLIT_CHUNK_RAYS_MAX)
+    return TREELET_CHUNK_RAYS
 
 
 # ---------------------------------------------------------------------------

@@ -127,23 +127,10 @@ def _split_shade_jit(scene, st, hit_t, hit_tri, hit_u, hit_v, occl, key,
 
 
 def wavefront_mode(scene) -> str:
-    """'split' (host-driven two-program loop) or 'loop' (lax.while_loop).
+    """Re-exported from integrator (chunk sizing depends on it there)."""
+    from mcpt_tpu.render.integrator import wavefront_mode as _wm
 
-    auto: split exactly when the dispatch path contains Pallas kernels
-    (treelet scenes, or MCPT_INTERSECT=woop-fused past the size gate) —
-    pure-XLA dispatches keep the fused loop, which XLA serves better
-    (carries pinned in VMEM). MCPT_WAVEFRONT=loop|split forces either.
-    """
-    import os
-
-    from mcpt_tpu.ops.intersect import uses_treelets, uses_woop_kernel
-
-    mode = os.environ.get("MCPT_WAVEFRONT", "auto")
-    if mode not in ("auto", "loop", "split"):
-        raise ValueError(f"MCPT_WAVEFRONT={mode!r} not in auto|loop|split")
-    if mode != "auto":
-        return mode
-    return "split" if (uses_treelets(scene) or uses_woop_kernel(scene)) else "loop"
+    return _wm(scene)
 
 
 def trace_chunk_split(scene, pidx, lane_valid, key, start_idx, max_bounces,
