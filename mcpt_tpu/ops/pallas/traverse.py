@@ -674,14 +674,33 @@ def _default_interpret() -> bool:
         return True
 
 
+import os as _os
+
+# Treelet selection mechanism: "vote" (pair votes, round 4) or "smem"
+# (SMEM-mediated column-min walk, ops/pallas/select.py — eliminates the
+# two per-pair scalar extractions). Same results bitwise (tested).
+TREELET_SELECT = _os.environ.get("MCPT_TREELET_SELECT", "vote")
+if TREELET_SELECT not in ("vote", "smem"):
+    raise ValueError(
+        f"MCPT_TREELET_SELECT={TREELET_SELECT!r} not in ('vote', 'smem')"
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
 def _closest_sorted(ts, org, dirn, t_min, t_max, ray_tile, interpret):
     order = _ray_sort_order(ts, org, dirn)
     tM = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (org.shape[0],))
-    t_s, tri_s, u_s, v_s = closest_hit_treelets_impl(
-        ts, org[order], dirn[order], t_min, tM[order],
-        ray_tile=ray_tile, interpret=interpret,
-    )
+    if TREELET_SELECT == "smem" and not interpret:
+        from mcpt_tpu.ops.pallas.select import closest_hit_treelets_smem
+
+        t_s, tri_s, u_s, v_s = closest_hit_treelets_smem(
+            ts, org[order], dirn[order], t_min, tM[order], ray_tile=ray_tile
+        )
+    else:
+        t_s, tri_s, u_s, v_s = closest_hit_treelets_impl(
+            ts, org[order], dirn[order], t_min, tM[order],
+            ray_tile=ray_tile, interpret=interpret,
+        )
     t = jnp.zeros_like(t_s).at[order].set(t_s)
     tri = jnp.zeros_like(tri_s).at[order].set(tri_s)
     u = jnp.zeros_like(u_s).at[order].set(u_s)
@@ -693,10 +712,17 @@ def _closest_sorted(ts, org, dirn, t_min, t_max, ray_tile, interpret):
 def _any_sorted(ts, org, dirn, t_min, t_max, ray_tile, interpret):
     order = _ray_sort_order(ts, org, dirn)
     tM = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (org.shape[0],))
-    hit_s = any_hit_treelets_impl(
-        ts, org[order], dirn[order], t_min, tM[order],
-        ray_tile=ray_tile, interpret=interpret,
-    )
+    if TREELET_SELECT == "smem" and not interpret:
+        from mcpt_tpu.ops.pallas.select import any_hit_treelets_smem
+
+        hit_s = any_hit_treelets_smem(
+            ts, org[order], dirn[order], t_min, tM[order], ray_tile=ray_tile
+        )
+    else:
+        hit_s = any_hit_treelets_impl(
+            ts, org[order], dirn[order], t_min, tM[order],
+            ray_tile=ray_tile, interpret=interpret,
+        )
     return jnp.zeros_like(hit_s).at[order].set(hit_s)
 
 
