@@ -175,17 +175,20 @@ def attach_bvh(
         )
         scene = dataclasses.replace(scene, treelets=treelets)
     else:
-        from mcpt_tpu.ops.intersect import (
-            BRUTE_FORCE_MAX_TRIS,
-            DENSE_ALGO,
-            DENSE_KERNEL_MIN_TRIS,
-        )
-
         # only when the fused kernel would actually win dispatch: past
         # BRUTE_FORCE_MAX_TRIS (with a BVH attached) the skip-link walk
-        # takes over and the WoopSet would be dead weight in HBM
-        if (DENSE_ALGO == "woop-fused"
-                and DENSE_KERNEL_MIN_TRIS < scene.num_tris <= BRUTE_FORCE_MAX_TRIS):
+        # takes over and the WoopSet would be dead weight in HBM. The
+        # size gates mirror ops/intersect.uses_woop_kernel; checking the
+        # scene-carrying predicate itself needs the post-build scene, so
+        # probe with a light stand-in.
+        from mcpt_tpu.ops.intersect import uses_woop_kernel as _uwk
+
+        class _Probe:
+            num_tris = scene.num_tris
+            treelets = None
+            bvh = scene.bvh
+
+        if _uwk(_Probe):
             # fused-kernel mode: precompute its tables once (packing
             # inside the wavefront loop is not hoisted by XLA); jitted so
             # the build is one device program, not dozens of eager

@@ -417,16 +417,17 @@ TREELET_MIN_TRIS = 4096
 import os as _os
 
 # Dense-path algorithm:
-#   "woop"       (default) the XLA Woop matmul path
-#   "woop-xla"   alias of the default (kept so configs can be explicit)
-#   "woop-fused" OPT-IN fused VMEM Pallas kernel (ops/pallas/woop.py;
-#                bitwise-equal and faster per call, but e2e-blocked by
-#                the Pallas fusion-inflation effect — see uses_woop_kernel
-#                and PERF_NOTES.md; interpret mode off-TPU)
+#   "auto"       (default) fused VMEM Pallas kernel on TPU for mid scenes
+#                (DENSE_KERNEL_MIN_TRIS < T <= BRUTE_FORCE_MAX_TRIS) via
+#                the pipelined split wavefront — measured 7.8 vs 6.6
+#                Mrays/s e2e on veach (round 5); XLA Woop elsewhere
+#   "woop"       force the XLA Woop matmul path
+#   "woop-xla"   alias of "woop" (kept so configs can be explicit)
+#   "woop-fused" force the fused VMEM Pallas kernel
 #   "mt"         direct XLA Moller-Trumbore on the VPU
 # Same accept predicate in every case (bitwise-equal hits, tested).
-DENSE_ALGO = _os.environ.get("MCPT_INTERSECT", "woop")
-_VALID_DENSE = ("woop", "woop-xla", "woop-fused", "mt")
+DENSE_ALGO = _os.environ.get("MCPT_INTERSECT", "auto")
+_VALID_DENSE = ("auto", "woop", "woop-xla", "woop-fused", "mt")
 if DENSE_ALGO not in _VALID_DENSE:
     raise ValueError(
         f"MCPT_INTERSECT={DENSE_ALGO!r} is not one of {_VALID_DENSE}; unknown "
@@ -456,15 +457,12 @@ if TRAVERSAL not in _VALID_TRAVERSAL:
 def uses_woop_kernel(scene) -> bool:
     """Static: does dispatch use the fused VMEM Woop kernel?
 
-    OPT-IN ONLY (MCPT_INTERSECT=woop-fused). The kernel is bitwise-equal
-    to the XLA path and 2.7x faster per standalone call (veach-mis 32k
-    rays: closest 1.02 vs 2.76 ms/iteration in-program), but measured
-    round 4: placing ANY Pallas custom-call inside the wavefront while
-    body inflates every neighboring XLA fusion ~12x (shell 0.35 ->
-    4.5 ms/iteration; likely lost VMEM pinning of loop carries), which
-    costs more than the kernel saves — net e2e regression. Kept as the
-    measured experiment + infrastructure; default dispatch stays XLA
-    until the fusion-inflation mechanism is beaten (see PERF_NOTES.md).
+    Default ON (MCPT_INTERSECT=auto) for mid scenes on a real TPU since
+    round 5: the pipelined split wavefront (renderer.trace_chunk_split)
+    keeps the kernel in its own device program, so the round-4
+    fusion-inflation poison pill (any Pallas call inside the while body
+    inflated neighboring XLA fusions ~12x) no longer applies — measured
+    veach-mis e2e 7.8 vs 6.6 Mrays/s. MCPT_INTERSECT=woop opts out.
     """
     if uses_treelets(scene):
         return False
@@ -479,7 +477,14 @@ def uses_woop_kernel(scene) -> bool:
         # fully XLA-fused wave wins (round-4 advisor: the per-call packing
         # fallback used to route them to the kernel anyway)
         return False
-    return DENSE_ALGO == "woop-fused"
+    if DENSE_ALGO == "woop-fused":
+        return True
+    if DENSE_ALGO != "auto":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
 
 
 def dispatch_returns_uv(scene) -> bool:

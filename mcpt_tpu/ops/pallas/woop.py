@@ -184,18 +184,22 @@ def _tuv(P, eps_ref, c, chunk):
 
 
 def _closest_kernel(
-    eps_ref, tbl_ref, box_ref, ray_ref, out_t,
+    mask_ref, eps_ref, tbl_ref, ray_ref, out_t,
     acc_t, acc_id, acc_u, acc_v, *, n_chunks, chunk,
 ):
     rays = ray_ref[:]
     A = rays[:, 0:8]  # (o.xyz, 1, d.xyz, 0) — the Woop projection input
-    o = rays[:, 0:3]
-    inv_d = rays[:, 10:13]
     t_lo = rays[:, 8][:, None]
     t_hi = rays[:, 9][:, None]
     Rt = rays.shape[0]
 
-    live = _chunk_live(box_ref, o, inv_d, t_lo, t_hi, n_chunks)
+    # Per-tile chunk-live BITMASK, precomputed by the XLA pre-pass
+    # (_tile_chunk_mask) and read from whole-array SMEM: the round-4
+    # version reduced a per-ray [Rt, Cp] slab wave to ONE SCALAR PER CHUNK
+    # in-kernel (`pl.when(jnp.any(live[:, c]))`) — up to 32 vector->scalar
+    # round trips (~1 us each) per tile, the same atom that bounds the
+    # treelet vote. SMEM bit reads cost ~ns.
+    m = mask_ref[pl.program_id(0)]
 
     # accumulators live in scratch refs so pl.when bodies can update them
     acc_t[:] = jnp.broadcast_to(t_hi, (Rt, 1))
@@ -204,7 +208,7 @@ def _closest_kernel(
     acc_v[:] = jnp.zeros((Rt, 1), jnp.float32)
 
     for c in range(n_chunks):  # static unroll; dead chunks skipped at run
-        @pl.when(jnp.any(live[:, c]))
+        @pl.when((m >> c) & 1 != 0)
         def _(c=c):
             best_t = acc_t[:]
             P = _project(A, tbl_ref, c, chunk)
@@ -252,23 +256,20 @@ def _closest_kernel(
 
 
 def _any_kernel(
-    eps_ref, tbl_ref, box_ref, ray_ref, out_hit, acc_f,
+    mask_ref, eps_ref, tbl_ref, ray_ref, out_hit, acc_f,
     *, n_chunks, chunk,
 ):
     rays = ray_ref[:]
     A = rays[:, 0:8]
-    o = rays[:, 0:3]
-    inv_d = rays[:, 10:13]
     t_lo = rays[:, 8][:, None]
     t_hi = rays[:, 9][:, None]
     Rt = rays.shape[0]
 
-    live = _chunk_live(box_ref, o, inv_d, t_lo, t_hi, n_chunks)
+    m = mask_ref[pl.program_id(0)]  # see _closest_kernel
     acc_f[:] = jnp.zeros((Rt, 1), jnp.int32)
 
     for c in range(n_chunks):
-        # occlusion: only unoccluded rays keep chunks live
-        @pl.when(jnp.any(live[:, c] & (acc_f[:, 0] == 0)))
+        @pl.when((m >> c) & 1 != 0)
         def _(c=c):
             P = _project(A, tbl_ref, c, chunk)
             t, u, v, ok = _tuv(P, eps_ref, c, chunk)
@@ -284,6 +285,40 @@ def _any_kernel(
 
     W = out_hit.shape[1]
     out_hit[:] = jnp.broadcast_to(acc_f[:], (Rt, W))
+
+
+def _tile_chunk_mask(rays, boxes, n_chunks, rt):
+    """Per-tile chunk-live bitmask i32[n_tiles] (XLA pre-pass).
+
+    Conservative bundle test (interval-arithmetic slab, shared with the
+    schedule pre-pass): bit c is set unless NO ray in the tile can hit
+    chunk c's AABB inside its [t_lo, t_hi). Parked lanes (|o| >= 1e29,
+    the integrator's dead-lane trick) and masked rays (t_hi <= t_lo) are
+    excluded from the bundle; an all-dead tile gets mask 0 and the kernel
+    writes misses without touching the MXU.
+    """
+    from mcpt_tpu.ops.pallas.schedule import _interval_slab
+
+    n_tiles = rays.shape[0] // rt
+    o = rays[:, 0:3].reshape(n_tiles, rt, 3)
+    d = rays[:, 4:7].reshape(n_tiles, rt, 3)
+    t_lo = rays[:, 8].reshape(n_tiles, rt)
+    t_hi = rays[:, 9].reshape(n_tiles, rt)
+    valid = (t_lo < t_hi) & (jnp.max(jnp.abs(o), axis=-1) < 1e29)
+    v3 = valid[..., None]
+    olo = jnp.min(jnp.where(v3, o, jnp.inf), axis=1)
+    ohi = jnp.max(jnp.where(v3, o, -jnp.inf), axis=1)
+    dlo = jnp.min(jnp.where(v3, d, jnp.inf), axis=1)
+    dhi = jnp.max(jnp.where(v3, d, -jnp.inf), axis=1)
+    tlo = jnp.min(jnp.where(valid, t_lo, jnp.inf), axis=1)
+    thi = jnp.max(jnp.where(valid, t_hi, -jnp.inf), axis=1)
+    blo = boxes[0:3, :n_chunks].T
+    bhi = boxes[3:6, :n_chunks].T
+    valid_box = boxes[6, :n_chunks] > 0.0
+    hit, _ = _interval_slab(olo, ohi, dlo, dhi, tlo, thi, blo, bhi, valid_box)
+    bits = hit.astype(jnp.int32) << jnp.arange(n_chunks, dtype=jnp.int32)[None, :]
+    # disjoint powers of two: sum == bitwise OR (incl. the sign bit at 31)
+    return jnp.sum(bits, axis=1)
 
 
 def _pack_rays(org, dirn, t_min, t_max, Rt):
@@ -318,19 +353,21 @@ def closest_hit_woop_fused_impl(
     ray_tile: int = DEFAULT_RAY_TILE, interpret: bool = False,
 ):
     n_chunks = tbl.shape[1] // (6 * CHUNK_T)  # static (from shape)
+    assert n_chunks <= 32, "dense path caps at 4096 tris = 32 chunk bits"
     rays, R, Rp = _pack_rays(org, dirn, t_min, t_max, ray_tile)
     Rt = min(ray_tile, Rp)
     n_tiles = Rp // Rt
+    mask = _tile_chunk_mask(rays, boxes, n_chunks, Rt)
     out = pl.pallas_call(
         functools.partial(_closest_kernel, n_chunks=n_chunks, chunk=CHUNK_T),
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct((Rp, 128), jnp.float32),
         in_specs=[
+            pl.BlockSpec((n_tiles,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((8, epsr.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tbl.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, boxes.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Rt, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -345,7 +382,7 @@ def closest_hit_woop_fused_impl(
         ],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(epsr, tbl, boxes, rays)
+    )(mask, epsr, tbl, rays)
     t = out[:R, 0]
     tri = jax.lax.bitcast_convert_type(out[:R, 32], jnp.int32)
     return t, tri, out[:R, 64], out[:R, 96]
@@ -357,19 +394,21 @@ def any_hit_woop_fused_impl(
     ray_tile: int = DEFAULT_RAY_TILE, interpret: bool = False,
 ):
     n_chunks = tbl.shape[1] // (6 * CHUNK_T)  # static (from shape)
+    assert n_chunks <= 32, "dense path caps at 4096 tris = 32 chunk bits"
     rays, R, Rp = _pack_rays(org, dirn, t_min, t_max, ray_tile)
     Rt = min(ray_tile, Rp)
     n_tiles = Rp // Rt
+    mask = _tile_chunk_mask(rays, boxes, n_chunks, Rt)
     out = pl.pallas_call(
         functools.partial(_any_kernel, n_chunks=n_chunks, chunk=CHUNK_T),
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct((Rp, 128), jnp.int32),
         in_specs=[
+            pl.BlockSpec((n_tiles,), lambda i: (0,),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((8, epsr.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((8, tbl.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, boxes.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((Rt, 16), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
@@ -379,7 +418,7 @@ def any_hit_woop_fused_impl(
         scratch_shapes=[pltpu.VMEM((Rt, 1), jnp.int32)],
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(epsr, tbl, boxes, rays)
+    )(mask, epsr, tbl, rays)
     return out[:R, 0] > 0
 
 

@@ -583,12 +583,17 @@ def chunk_rays_for(scene) -> int:
         return int(env)
     from mcpt_tpu.ops.intersect import uses_treelets
 
-    if not uses_treelets(scene):
-        return DEFAULT_CHUNK_RAYS
     if wavefront_mode(scene) == "split":
+        # ANY split-mode scene wants maximal chunks: coherence for the
+        # treelet sort, and (for every dispatch) amortizing the ~2 host
+        # dispatches + 1 lagged relay poll per iteration over as many
+        # lanes as possible (32k-lane veach chunks measured 1.3 Mrays/s —
+        # relay-bound at ~3 ms device iterations)
         cam = scene.camera
         r = cam.width * cam.height
         return min(max(r, DEFAULT_CHUNK_RAYS), SPLIT_CHUNK_RAYS_MAX)
+    if not uses_treelets(scene):
+        return DEFAULT_CHUNK_RAYS
     return TREELET_CHUNK_RAYS
 
 

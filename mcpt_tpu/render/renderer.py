@@ -107,6 +107,7 @@ def _render_chunk(scene, pidx, lane_valid, key, start_idx, max_bounces,
 # ---------------------------------------------------------------------------
 
 SPLIT_LOOKAHEAD = 4
+SPLIT_POLL_EVERY = 4  # relay round trips per polled iteration (see loop)
 
 
 @jax.jit
@@ -162,11 +163,16 @@ def trace_chunk_split(scene, pidx, lane_valid, key, start_idx, max_bounces,
     cap = spp_per_pass * (max_bounces + 3) + lookahead + 2
     it = 0
     while it < cap:
-        # poll the lane count `lookahead` iterations behind: the device
-        # keeps running the queued P/X pairs while the host blocks
+        # poll the lane count `lookahead` iterations behind, and only
+        # every POLL_EVERY iterations: each poll is a relay round trip
+        # (~20-30 ms), which dominated cheap-scene iterations when done
+        # per-iteration. Unpolled entries are dropped unseen.
         if len(pending) > lookahead:
-            if int(np.asarray(pending.pop(0))) == 0:
-                break
+            if it % SPLIT_POLL_EVERY == 0:
+                if int(np.asarray(pending.pop(0))) == 0:
+                    break
+            else:
+                pending.pop(0)
         hit_t, hit_tri, hit_u, hit_v, occ = _split_trace_jit(
             scene, st["o"], st["d"], st["so"], st["sd"], st["smax"]
         )
