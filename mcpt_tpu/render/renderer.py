@@ -134,6 +134,26 @@ def wavefront_mode(scene) -> str:
     return _wm(scene)
 
 
+@partial(jax.jit, donate_argnames=("st", "result"),
+         static_argnames=("size", "spp"))
+def _split_compact_jit(st, result, pos, pidx, size, spp):
+    """Re-pack pending lanes into the first `size` slots.
+
+    A lane's samples depend only on (pixel, sample id) — the counter-based
+    RNG makes the result invariant to lane placement — so live lanes can
+    be moved freely. Retired lanes' L_sum is flushed into `result` at
+    their `pos`; moved lanes keep accumulating and flush at the end.
+    """
+    pending = st["alive"] | (st["s"] < spp)
+    result = result.at[pos].set(st["L_sum"])
+    order = jnp.argsort(~pending, stable=True)
+    idx = order[:size]
+    small = {
+        k: (v if v.ndim == 0 else v[idx]) for k, v in st.items()
+    }
+    return small, result, pos[idx], pidx[idx]
+
+
 def trace_chunk_split(scene, pidx, lane_valid, key, start_idx, max_bounces,
                       spp_per_pass, lookahead=SPLIT_LOOKAHEAD):
     """One wavefront chunk via the pipelined host loop.
@@ -142,7 +162,18 @@ def trace_chunk_split(scene, pidx, lane_valid, key, start_idx, max_bounces,
     contract, with BITWISE-equal radiance (same RNG draws, same add
     order; tested). The loop hard-caps at spp*(max_bounces+3)+lookahead
     iterations (a lane advances s or b every iteration, +1 zombie step).
+
+    STRAGGLER COMPACTION: the wavefront's tail — a handful of lanes still
+    rendering deep samples — would otherwise run hundreds of full-width
+    iterations (measured: the re-authored veach ran to its 438-iteration
+    cap, 10x the pass time, because the X program's cost is proportional
+    to LANES, not live lanes). When the polled pending count fits a 4x /
+    16x / 64x smaller program, live lanes are re-packed (exact: RNG is
+    keyed by (pixel, sample), not lane) and the loop continues at that
+    size. MCPT_COMPACT=0 disables.
     """
+    import os
+
     import numpy as np
 
     from mcpt_tpu.render.integrator import split_state0
@@ -150,15 +181,32 @@ def trace_chunk_split(scene, pidx, lane_valid, key, start_idx, max_bounces,
     R = int(pidx.shape[0])
     st = split_state0(R, spp_per_pass, lane_valid)
     start_idx = jnp.asarray(start_idx, jnp.int32)
+    result = jnp.zeros((R, 3))
+    pos = jnp.arange(R, dtype=jnp.int32)
+    # size ladder: quarter at each step, multiples of 1024 (full tiles).
+    # MCPT_COMPACT_MIN floors it (tests force it low to exercise the path)
+    ladder = []
+    if os.environ.get("MCPT_COMPACT", "1") != "0":
+        floor_sz = int(os.environ.get("MCPT_COMPACT_MIN", "16384"))
+        s = R
+        while s > floor_sz:
+            s = max(floor_sz, -(-(s // 4) // 1024) * 1024 if s // 4 >= 1024
+                    else floor_sz)
+            ladder.append(s)
     # X0: pure regen (all lanes dead, dummy miss hit)
-    miss_t = jnp.full((R,), jnp.finfo(jnp.float32).max)
-    miss_tri = jnp.full((R,), -1, jnp.int32)
-    zeros = jnp.zeros((R,))
-    occ0 = jnp.zeros((R,), bool)
-    st, n_pend = _split_shade_jit(
-        scene, st, miss_t, miss_tri, zeros, zeros, occ0, key, pidx,
-        start_idx, spp_per_pass, max_bounces,
-    )
+    cur = R
+
+    def x0(st, pidx_c, n):
+        miss_t = jnp.full((n,), jnp.finfo(jnp.float32).max)
+        miss_tri = jnp.full((n,), -1, jnp.int32)
+        zeros = jnp.zeros((n,))
+        occ0 = jnp.zeros((n,), bool)
+        return _split_shade_jit(
+            scene, st, miss_t, miss_tri, zeros, zeros, occ0, key, pidx_c,
+            start_idx, spp_per_pass, max_bounces,
+        )
+
+    st, n_pend = x0(st, pidx, R)
     pending = [n_pend]
     cap = spp_per_pass * (max_bounces + 3) + lookahead + 2
     it = 0
@@ -169,8 +217,22 @@ def trace_chunk_split(scene, pidx, lane_valid, key, start_idx, max_bounces,
         # per-iteration. Unpolled entries are dropped unseen.
         if len(pending) > lookahead:
             if it % SPLIT_POLL_EVERY == 0:
-                if int(np.asarray(pending.pop(0))) == 0:
+                n_live = int(np.asarray(pending.pop(0)))
+                if n_live == 0:
                     break
+                # compact into the smallest ladder size that fits (with
+                # slack: the poll lags `lookahead` iterations, but lane
+                # count only ever decreases, so n_live is an upper bound)
+                tgt = None
+                for s in ladder:
+                    if s < cur and n_live <= s:
+                        tgt = s
+                if tgt is not None:
+                    st, result, pos, pidx = _split_compact_jit(
+                        st, result, pos, pidx, size=tgt, spp=spp_per_pass
+                    )
+                    cur = tgt
+                    pending.clear()
             else:
                 pending.pop(0)
         hit_t, hit_tri, hit_u, hit_v, occ = _split_trace_jit(
@@ -191,7 +253,8 @@ def trace_chunk_split(scene, pidx, lane_valid, key, start_idx, max_bounces,
                     "pipelined wavefront hit its iteration cap with lanes "
                     f"pending (cap {cap}) — max_bounces/spp accounting bug"
                 )
-    return st["L_sum"], st["nrays"], st["nan_ct"], st["iters"]
+    result = result.at[pos].set(st["L_sum"])
+    return result, st["nrays"], st["nan_ct"], st["iters"]
 
 
 @partial(jax.jit, donate_argnames=("film",), static_argnames=("spp_per_pass",))

@@ -243,8 +243,15 @@ def gen_cornell(out_dir, name="cornell-box", mirror_tall_block=False):
 # ---------------------------------------------------------------------------
 
 def gen_veach(out_dir, name="veach-mis"):
+    """Veach MIS test, color-matched to the reference golden
+    (/root/reference/results/veach-mis.obj313.png, post-tonemap mean RGB
+    (0.250, 0.178, 0.276)): a navy-blue backdrop/floor, four PINK glossy
+    slab plates (thickness visible, highlights salmon), and FOUR white
+    spherical emitters of equal power whose radius grows left to right
+    (0.033 / 0.1 / 0.3 / 0.9 — the classic construction: equal power makes
+    the small sphere the brightest surface)."""
     m = MeshWriter()
-    # Backdrop + floor (diffuse grey)
+    # Backdrop + floor (diffuse navy blue, as in the golden)
     m.usemtl("floor")
     m.add_quad((-10, -4.14615, -10), (10, -4.14615, -10), (10, -4.14615, 10), (-10, -4.14615, 10),
                n=(0, 1, 0))
@@ -252,7 +259,8 @@ def gen_veach(out_dir, name="veach-mis"):
 
     # Four long glossy plates, tilted so each reflects the emitter row into
     # the camera (normal = bisector of to-light and to-camera directions,
-    # the Veach MIS construction).
+    # the Veach MIS construction). Rendered as thin SLABS (the golden shows
+    # their front edges).
     cam_pos = np.array([0.0, 2.0, 15.0])
     light_center = np.array([0.0, 0.0, 0.0])
     plate_centers = [
@@ -261,7 +269,7 @@ def gen_veach(out_dir, name="veach-mis"):
         (0.0, -2.2, 2.0),
         (0.0, -2.7, 1.1),  # bottom (roughest)
     ]
-    half_w, half_d = 4.0, 0.45
+    half_w, half_d, th = 4.0, 0.45, 0.16
     for i, pc in enumerate(plate_centers):
         p = np.array(pc)
         to_l = light_center - p
@@ -275,29 +283,42 @@ def gen_veach(out_dir, name="veach-mis"):
         c1 = p + xa * half_w - t * half_d
         c2 = p + xa * half_w + t * half_d
         c3 = p - xa * half_w + t * half_d
-        m.usemtl(f"plate{i}")
         # winding chosen so the geometric normal equals n (points at camera)
         e1, e2 = c1 - c0, c2 - c0
         if np.dot(np.cross(e1, e2), n) < 0:
             c0, c1, c2, c3 = c3, c2, c1, c0
+        m.usemtl(f"plate{i}")
         m.add_quad(c0, c1, c2, c3, n=tuple(n))
+        # slab: bottom face + four diffuse side skirts (the visible dark
+        # edges in the golden)
+        b0, b1, b2, b3 = (c - n * th for c in (c0, c1, c2, c3))
+        m.usemtl(f"plateside{i}")
+        m.add_quad(b3, b2, b1, b0, n=tuple(-n))
+        for (qa, qb, qc, qd) in ((c0, c1, b1, b0), (c1, c2, b2, b1),
+                                 (c2, c3, b3, b2), (c3, c0, b0, b3)):
+            side_n = np.cross(qb - qa, qc - qa)
+            nl = np.linalg.norm(side_n)
+            if nl > 0:
+                m.add_quad(qa, qb, qc, qd, n=tuple(side_n / nl))
 
-    # Three spherical emitters of equal power, radii 0.9 / 0.3 / 0.1
-    radii = [0.9, 0.3, 0.1]
-    xpos = [-2.5, 0.0, 2.5]
-    total_power = 30.0
+    # Four spherical emitters of equal power, radius growing left -> right
+    radii = [0.0333, 0.1, 0.3, 0.9]
+    xpos = [-3.75, -1.25, 1.25, 3.75]
+    total_power = 24.0
     for i, (r, x) in enumerate(zip(radii, xpos)):
         m.usemtl(f"emit{i}")
         for (p0, p1, p2, ns) in icosphere((x, 0.0, 0.0), r, subdiv=2):
             m.add_tri(p0, p1, p2, n=ns)
 
     mats = [
-        {"name": "floor", "Kd": (0.4, 0.4, 0.4)},
+        {"name": "floor", "Kd": (0.21, 0.21, 0.62)},
     ]
     for i, ns in enumerate((5000, 1000, 200, 50)):
         mats.append(
-            {"name": f"plate{i}", "Kd": (0.02, 0.02, 0.02), "Ks": (0.6, 0.6, 0.6), "Ns": ns}
+            {"name": f"plate{i}", "Kd": (0.20, 0.05, 0.07),
+             "Ks": (0.62, 0.38, 0.42), "Ns": ns}
         )
+        mats.append({"name": f"plateside{i}", "Kd": (0.16, 0.04, 0.06)})
     lights = []
     for i, r in enumerate(radii):
         area = 4 * math.pi * r * r

@@ -257,3 +257,29 @@ def test_split_wavefront_renderer_pass(cornell_scene, monkeypatch):
                             chunk=64)
     np.testing.assert_array_equal(np.asarray(a.accum), np.asarray(b.accum))
     assert float(a.rays) == float(b.rays)
+
+
+def test_split_wavefront_compaction_bitwise(cornell_scene, monkeypatch):
+    """Straggler compaction (re-packing live lanes into smaller programs)
+    must not change a single bit: the counter-based RNG keys samples by
+    (pixel, sample id), never by lane position."""
+    import jax.numpy as jnp
+
+    from mcpt_tpu.render.integrator import trace_wavefront
+    from mcpt_tpu.render.renderer import trace_chunk_split
+
+    monkeypatch.setenv("MCPT_COMPACT_MIN", "64")
+    scene = cornell_scene
+    R = 512
+    pidx = (jnp.arange(R, dtype=jnp.int32) * 37) % (
+        scene.camera.width * scene.camera.height
+    )
+    lv = jnp.ones((R,), bool)
+    key = jax.random.PRNGKey(3)
+    start = jnp.asarray(5, jnp.int32)
+    L0, nr0, nc0, _ = trace_wavefront(scene, scene.camera, key, pidx, start,
+                                      spp=4, max_bounces=8)
+    L1, nr1, nc1, _ = trace_chunk_split(scene, pidx, lv, key, start,
+                                        max_bounces=8, spp_per_pass=4)
+    np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
+    assert int(nr0) == int(nr1)
