@@ -311,14 +311,14 @@ def gen_veach(out_dir, name="veach-mis"):
             m.add_tri(p0, p1, p2, n=ns)
 
     mats = [
-        {"name": "floor", "Kd": (0.21, 0.21, 0.62)},
+        {"name": "floor", "Kd": (0.275, 0.15, 0.405)},
     ]
     for i, ns in enumerate((5000, 1000, 200, 50)):
         mats.append(
-            {"name": f"plate{i}", "Kd": (0.20, 0.05, 0.07),
-             "Ks": (0.62, 0.38, 0.42), "Ns": ns}
+            {"name": f"plate{i}", "Kd": (0.38, 0.05, 0.075),
+             "Ks": (0.80, 0.40, 0.44), "Ns": ns}
         )
-        mats.append({"name": f"plateside{i}", "Kd": (0.16, 0.04, 0.06)})
+        mats.append({"name": f"plateside{i}", "Kd": (0.22, 0.045, 0.065)})
     lights = []
     for i, r in enumerate(radii):
         area = 4 * math.pi * r * r

@@ -20,6 +20,10 @@ RESULTS = os.path.join(os.path.dirname(__file__), "..", "results")
 # BASELINE.md "Golden image statistics": post-tonemap mean RGB of
 # /root/reference/results/cornell-box.obj119.png
 GOLDEN_CORNELL_MEAN = (0.448, 0.380, 0.269)
+# /root/reference/results/veach-mis.obj313.png — the round-5 re-authoring
+# matches its palette (navy backdrop, pink slab plates, four white
+# emitters growing left->right); committed render mean lands within 0.006
+GOLDEN_VEACH_MEAN = (0.250, 0.178, 0.276)
 
 
 def _mean_rgb(path):
@@ -40,6 +44,24 @@ def test_cornell_render_matches_reference_golden_stats():
         assert abs(got - want) < 0.02, (
             f"cornell mean RGB {tuple(round(m, 3) for m in mean)} deviates "
             f"from reference golden {GOLDEN_CORNELL_MEAN} by > 0.02"
+        )
+
+
+def test_veach_render_matches_reference_golden_stats():
+    """VERDICT r4 #4: the veach re-authoring is color-faithful enough that
+    its tonemapped mean pins against the reference golden (the geometry is
+    independently authored — composition differs — so the tolerance is
+    wider than cornell's)."""
+    import glob
+
+    paths = glob.glob(os.path.join(RESULTS, "veach-mis.obj*.png"))
+    if not paths:
+        pytest.skip("committed veach render not present")
+    mean = _mean_rgb(sorted(paths)[-1])
+    for got, want in zip(mean, GOLDEN_VEACH_MEAN):
+        assert abs(got - want) < 0.03, (
+            f"veach mean RGB {tuple(round(m, 3) for m in mean)} deviates "
+            f"from reference golden {GOLDEN_VEACH_MEAN} by > 0.03"
         )
 
 
