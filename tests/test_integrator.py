@@ -148,15 +148,16 @@ def test_veach_brightness_regression(veach_scene):
 
     The reference's veach-mis golden has post-tonemap mean RGB ~
     (0.250, 0.178, 0.276) (BASELINE.md) but its scene pack is gitignored;
-    ours is re-authored (procedural, grayscale materials/lights), so the
-    anchor is OUR recorded value at this exact config — a regression tripwire
-    for the Blinn-Phong + MIS estimator, not a parity claim.
+    ours is re-authored (round 5: color-matched slabs/emitters, pinned
+    against the golden in test_golden_stats.py), so the anchor here is OUR
+    recorded value at this exact config — a regression tripwire for the
+    Blinn-Phong + MIS estimator, not a parity claim.
     """
     img, r = _render(veach_scene, spp=16, w=64, h=64, bounces=12, seed=0)
     tone = np.sqrt(np.clip(img, 0, 1))
     mean = float(tone.mean())
-    # recorded 2026-08-20 on the CPU mesh: 0.3892
-    assert abs(mean - 0.389) < 0.02, mean
+    # recorded 2026-08-21 on the CPU mesh (round-5 color re-authoring)
+    assert abs(mean - 0.2782) < 0.02, mean
 
 
 @pytest.mark.skipif(
