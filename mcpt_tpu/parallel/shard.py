@@ -132,12 +132,19 @@ def render_pass_sharded(
         # this device renders samples [start + si*local_spp, +local_spp) of
         # its pixel rows; the counter-based per-(pixel, sample) RNG makes the
         # result independent of this decomposition
-        from mcpt_tpu.render.integrator import chunk_rays_for
+        from mcpt_tpu.render.integrator import (
+            TREELET_CHUNK_RAYS,
+            chunk_rays_for,
+        )
 
         local_start = start_idx + si.astype(jnp.int32) * local_spp
+        # the sharded pass is ONE device program (shard_map) — the host-
+        # driven split loop cannot run inside it, so cap the chunk at the
+        # in-program (execution-bounded) size even when single-chip
+        # dispatch would pick split mode with whole-image chunks
         radiance, local_rays, local_nan = trace_image_wavefront(
             scene, cam, key, pixel_idx, local_start, local_spp, max_bounces,
-            chunk_rays=chunk_rays_for(scene),
+            chunk_rays=min(chunk_rays_for(scene), TREELET_CHUNK_RAYS),
         )
         local_acc = radiance.reshape(rows, W, 3)
         local_rays = local_rays.astype(jnp.float32)
