@@ -40,6 +40,7 @@ def make_inverse_step(
     learning_rate: float = 2e-2,
     param_mask: Optional[SceneParams] = None,
     radiance_lr: Optional[float] = None,
+    extra_grad_fn: Optional[Callable] = None,
 ):
     """Build (init_state, step_fn). step_fn is jitted end-to-end.
 
@@ -92,6 +93,16 @@ def make_inverse_step(
         grads = jax.tree_util.tree_map(
             lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads
         )
+        if extra_grad_fn is not None:
+            # opt-in additional gradient terms the detached estimator
+            # cannot see — e.g. the NEE visibility (silhouette) term for
+            # dverts (diff/edge.make_nee_edge_term). Contract: returns a
+            # pytree matching `grads` with zeros for untouched fields.
+            extra = extra_grad_fn(state.params, k)
+            grads = jax.tree_util.tree_map(
+                lambda g, e: g + jnp.where(jnp.isfinite(e), e, 0.0),
+                grads, extra,
+            )
         if param_mask is not None:
             # field-wise (not tree.map): a mask built without dverts (None)
             # freezes the vertex field rather than mismatching pytree
@@ -174,16 +185,19 @@ def run_inverse(
     checkpoint_every: int = 0,
     resume: Optional[str] = None,
     radiance_lr: Optional[float] = None,
+    extra_grad_fn: Optional[Callable] = None,
 ):
     """Adam loop. Returns (final_params, loss_history).
 
     `checkpoint_every > 0` writes the full optimizer state (params + Adam
     moments + step) every N steps; `resume` restarts from such a file.
     `radiance_lr` gives emission its own Adam rate (see make_inverse_step).
+    `extra_grad_fn(params, key) -> grads-pytree` adds opt-in gradient
+    terms (the edge-aware visibility term: diff/edge.make_nee_edge_term).
     """
     init, step_fn = make_inverse_step(
         scene, target, spp, max_bounces, learning_rate, param_mask,
-        radiance_lr=radiance_lr,
+        radiance_lr=radiance_lr, extra_grad_fn=extra_grad_fn,
     )
     state = init(init_params)
     if resume:
