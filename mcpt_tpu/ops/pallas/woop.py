@@ -53,7 +53,10 @@ _COMPILER_PARAMS = (
 DEFAULT_RAY_TILE = 128
 # Triangles per cullable chunk (one VPU lane width; also the culling
 # granularity — BVH order makes contiguous chunks spatially tight).
-CHUNK_T = 128
+# MCPT_WOOP_CHUNK overrides (finer chunks = tighter culling, more
+# per-chunk fixed cost; the kernel caps at 32 chunk-mask bits, so the
+# dense path's 4096-tri ceiling needs CHUNK_T >= 128).
+CHUNK_T = int(_os.environ.get("MCPT_WOOP_CHUNK", "128"))
 
 
 from dataclasses import dataclass
@@ -131,30 +134,6 @@ def pack_woop_table(v0, e1, e2, det_eps, chunk: int = CHUNK_T):
     boxes = boxes.at[3:6, :n_chunks].set(hi3.T)
     boxes = boxes.at[6, :n_chunks].set(1.0)
     return tbl, epsr, boxes, n_chunks
-
-
-def _chunk_live(box_ref, o, inv, t_lo, t_hi, n_chunks):
-    """[Rt, Cp] bool: reference slab test per (ray, chunk) — far fudge
-    1.001, strict <, seeded from [t_lo, t_hi) (src/AABB.cpp:25-36)."""
-    Cp = box_ref.shape[1]
-    Rt = o.shape[0]
-    near = jnp.full((Rt, Cp), -jnp.inf, jnp.float32)
-    far = jnp.full((Rt, Cp), jnp.inf, jnp.float32)
-    for a in range(3):
-        o_a = o[:, a][:, None]
-        i_a = inv[:, a][:, None]
-        ta = (box_ref[a, :][None, :] - o_a) * i_a
-        tb = (box_ref[3 + a, :][None, :] - o_a) * i_a
-        near = jnp.maximum(near, jnp.minimum(ta, tb))
-        far = jnp.minimum(far, jnp.maximum(ta, tb) * 1.001)
-    valid = box_ref[6, :][None, :] > 0.0
-    # NaN-conservative form: a ray with a zero direction component whose
-    # origin sits exactly on a box plane gives 0 * inf = NaN in the slab
-    # products; `a < b` would read False and CULL a chunk that may hold
-    # the real hit (diverging from the un-culled XLA path). ~(a >= b)
-    # keeps NaN rays LIVE — culling must only ever be conservative.
-    dead = jnp.maximum(t_lo, near) >= jnp.minimum(t_hi, far)
-    return valid & ~dead
 
 
 def _project(A, tbl_ref, c, chunk):
