@@ -489,7 +489,7 @@ def closest_hit_schedule_impl(
         ],
     )(sched, rays, tri_flat)
     return (out_t[:R, 0], out_id[:R, 0], out_uv[:R, 0], out_uv[:R, 64],
-            incomplete, rays)
+            incomplete)
 
 
 @functools.partial(jax.jit, static_argnames=("ray_tile", "v"))
@@ -541,7 +541,7 @@ def _closest_sorted_sched(ts, org, dirn, t_min, t_max, ray_tile, v):
     order = _ray_sort_order(ts, org, dirn)
     tM = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (org.shape[0],))
     o_s, d_s, tM_s = org[order], dirn[order], tM[order]
-    t_s, tri_s, u_s, v_s, incomplete, _rays = closest_hit_schedule_impl(
+    t_s, tri_s, u_s, v_s, incomplete = closest_hit_schedule_impl(
         ts, o_s, d_s, t_min, tM_s, ray_tile=ray_tile, v=v
     )
     R = org.shape[0]
