@@ -178,7 +178,11 @@ def bench_inverse(steps_measure=25, steps_full=500, res=256, spp=4,
         kd=jnp.full_like(params0.kd, 0.5),
         ks=params0.ks,
         radiance=jnp.where(params0.radiance > 0, rad0[None, :], 0.0),
-        dverts=params0.dverts,
+        # vertices are NOT optimized in this config: carrying dverts
+        # would differentiate every pixel w.r.t. every vertex (the heavy
+        # backward) only to mask the result to zero — measured 6x slower
+        # (round-4 kept it out by silently stripping; now it is explicit)
+        dverts=None,
     )
     state = init(guess)
     t0 = time.perf_counter()
