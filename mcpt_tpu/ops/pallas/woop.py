@@ -51,12 +51,23 @@ _COMPILER_PARAMS = (
 )
 
 DEFAULT_RAY_TILE = 128
-# Triangles per cullable chunk (one VPU lane width; also the culling
-# granularity — BVH order makes contiguous chunks spatially tight).
-# MCPT_WOOP_CHUNK overrides (finer chunks = tighter culling, more
-# per-chunk fixed cost; the kernel caps at 32 chunk-mask bits, so the
-# dense path's 4096-tri ceiling needs CHUNK_T >= 128).
-CHUNK_T = int(_os.environ.get("MCPT_WOOP_CHUNK", "128"))
+# Triangles per cullable chunk (also the culling granularity). Swept on
+# veach-mis 1024^2 e2e (round 5): C=64/128/256/512/768 -> 3.6/6.6/6.9/
+# 7.5/7.6 Mrays/s — per-chunk fixed costs (mask read, pl.when boundary,
+# matmul launch, epilogue) dominate the culling gains at mid-scene sizes,
+# so the default targets ~3 chunks per scene (clamped to [128, 1024] and
+# a 64 multiple for clean VMEM slicing). MCPT_WOOP_CHUNK forces a value.
+_CHUNK_ENV = int(_os.environ.get("MCPT_WOOP_CHUNK", "0"))
+
+
+def _auto_chunk(n_tris: int) -> int:
+    if _CHUNK_ENV:
+        return _CHUNK_ENV
+    c = -(-n_tris // (3 * 128)) * 128  # 128-multiples slice/pack cleanly
+    return max(128, min(1024, c))
+
+
+CHUNK_T = _CHUNK_ENV or 128  # legacy constant (pack_woop_table default)
 
 
 from dataclasses import dataclass
@@ -71,24 +82,28 @@ class WoopSet:
     differ only by the closest/any determinant epsilon (1e-5 vs 1e-6,
     src/Triangle.cpp:54,85); tbl and boxes are shared."""
 
-    tbl: jnp.ndarray  # f32[8, n_chunks*6*CHUNK_T]
+    tbl: jnp.ndarray  # f32[8, n_chunks*6*chunk]
     eps_closest: jnp.ndarray  # f32[8, Tp]
     eps_any: jnp.ndarray  # f32[8, Tp]
     boxes: jnp.ndarray  # f32[8, Cp]
+    chunk: int = CHUNK_T  # static: triangles per cullable chunk
 
 
 jax.tree_util.register_dataclass(
     WoopSet, data_fields=["tbl", "eps_closest", "eps_any", "boxes"],
-    meta_fields=[],
+    meta_fields=["chunk"],
 )
 
 
 def build_woop_set(v0, e1, e2) -> WoopSet:
     from mcpt_tpu.ops.intersect import DET_EPS_ANY, DET_EPS_CLOSEST
 
-    tbl, eps_c, boxes, _ = pack_woop_table(v0, e1, e2, DET_EPS_CLOSEST)
-    _, eps_a, _, _ = pack_woop_table(v0, e1, e2, DET_EPS_ANY)
-    return WoopSet(tbl=tbl, eps_closest=eps_c, eps_any=eps_a, boxes=boxes)
+    chunk = _auto_chunk(int(v0.shape[0]))
+    tbl, eps_c, boxes, _ = pack_woop_table(v0, e1, e2, DET_EPS_CLOSEST,
+                                           chunk=chunk)
+    _, eps_a, _, _ = pack_woop_table(v0, e1, e2, DET_EPS_ANY, chunk=chunk)
+    return WoopSet(tbl=tbl, eps_closest=eps_c, eps_any=eps_a, boxes=boxes,
+                   chunk=chunk)
 
 
 def pack_woop_table(v0, e1, e2, det_eps, chunk: int = CHUNK_T):
@@ -326,19 +341,22 @@ def _pack_rays(org, dirn, t_min, t_max, Rt):
     return rays, R, Rp
 
 
-@functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("ray_tile", "interpret", "chunk")
+)
 def closest_hit_woop_fused_impl(
     tbl, epsr, boxes, org, dirn, t_min, t_max,
     ray_tile: int = DEFAULT_RAY_TILE, interpret: bool = False,
+    chunk: int = CHUNK_T,
 ):
-    n_chunks = tbl.shape[1] // (6 * CHUNK_T)  # static (from shape)
+    n_chunks = tbl.shape[1] // (6 * chunk)  # static (from shape)
     assert n_chunks <= 32, "dense path caps at 4096 tris = 32 chunk bits"
     rays, R, Rp = _pack_rays(org, dirn, t_min, t_max, ray_tile)
     Rt = min(ray_tile, Rp)
     n_tiles = Rp // Rt
     mask = _tile_chunk_mask(rays, boxes, n_chunks, Rt)
     out = pl.pallas_call(
-        functools.partial(_closest_kernel, n_chunks=n_chunks, chunk=CHUNK_T),
+        functools.partial(_closest_kernel, n_chunks=n_chunks, chunk=chunk),
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct((Rp, 128), jnp.float32),
         in_specs=[
@@ -367,19 +385,22 @@ def closest_hit_woop_fused_impl(
     return t, tri, out[:R, 64], out[:R, 96]
 
 
-@functools.partial(jax.jit, static_argnames=("ray_tile", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("ray_tile", "interpret", "chunk")
+)
 def any_hit_woop_fused_impl(
     tbl, epsr, boxes, org, dirn, t_min, t_max,
     ray_tile: int = DEFAULT_RAY_TILE, interpret: bool = False,
+    chunk: int = CHUNK_T,
 ):
-    n_chunks = tbl.shape[1] // (6 * CHUNK_T)  # static (from shape)
+    n_chunks = tbl.shape[1] // (6 * chunk)  # static (from shape)
     assert n_chunks <= 32, "dense path caps at 4096 tris = 32 chunk bits"
     rays, R, Rp = _pack_rays(org, dirn, t_min, t_max, ray_tile)
     Rt = min(ray_tile, Rp)
     n_tiles = Rp // Rt
     mask = _tile_chunk_mask(rays, boxes, n_chunks, Rt)
     out = pl.pallas_call(
-        functools.partial(_any_kernel, n_chunks=n_chunks, chunk=CHUNK_T),
+        functools.partial(_any_kernel, n_chunks=n_chunks, chunk=chunk),
         grid=(n_tiles,),
         out_shape=jax.ShapeDtypeStruct((Rp, 128), jnp.int32),
         in_specs=[
@@ -418,19 +439,20 @@ def closest_hit_woop_fused(scene, org, dirn, t_min=1e-4, t_max=F32_MAX,
         interpret = _default_interpret()
     ws = getattr(scene, "woop", None)
     if ws is not None:
-        tbl, epsr, boxes = ws.tbl, ws.eps_closest, ws.boxes
+        tbl, epsr, boxes, chunk = ws.tbl, ws.eps_closest, ws.boxes, ws.chunk
     else:
         # fallback (tests / ad-hoc scenes): pack in-trace. Selection is
         # frozen under AD (dispatch contract): tables must be detached or
         # grad would need a VJP through the Pallas kernel.
         g = scene.geom
         sg = jax.lax.stop_gradient
+        chunk = _auto_chunk(int(g.v0.shape[0]))
         tbl, epsr, boxes, _ = pack_woop_table(
-            sg(g.v0), sg(g.e1), sg(g.e2), DET_EPS_CLOSEST
+            sg(g.v0), sg(g.e1), sg(g.e2), DET_EPS_CLOSEST, chunk=chunk
         )
     t, tri, u, v = closest_hit_woop_fused_impl(
         tbl, epsr, boxes, org, dirn, t_min, t_max,
-        ray_tile=ray_tile, interpret=interpret,
+        ray_tile=ray_tile, interpret=interpret, chunk=chunk,
     )
     return Hit(t=t, tri=tri, u=u, v=v)
 
@@ -444,14 +466,15 @@ def any_hit_woop_fused(scene, org, dirn, t_min=1e-4, t_max=F32_MAX,
         interpret = _default_interpret()
     ws = getattr(scene, "woop", None)
     if ws is not None:
-        tbl, epsr, boxes = ws.tbl, ws.eps_any, ws.boxes
+        tbl, epsr, boxes, chunk = ws.tbl, ws.eps_any, ws.boxes, ws.chunk
     else:
         g = scene.geom
         sg = jax.lax.stop_gradient
+        chunk = _auto_chunk(int(g.v0.shape[0]))
         tbl, epsr, boxes, _ = pack_woop_table(
-            sg(g.v0), sg(g.e1), sg(g.e2), DET_EPS_ANY
+            sg(g.v0), sg(g.e1), sg(g.e2), DET_EPS_ANY, chunk=chunk
         )
     return any_hit_woop_fused_impl(
         tbl, epsr, boxes, org, dirn, t_min, t_max,
-        ray_tile=ray_tile, interpret=interpret,
+        ray_tile=ray_tile, interpret=interpret, chunk=chunk,
     )
