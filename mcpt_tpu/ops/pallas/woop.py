@@ -50,7 +50,10 @@ _COMPILER_PARAMS = (
     pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP) if _VMEM_CAP else None
 )
 
-DEFAULT_RAY_TILE = 128
+# Rays per kernel tile. Swept on veach-mis e2e (round 5): 128/256/512 ->
+# 7.5/7.7/7.8 Mrays/s (fewer tiles amortize the per-tile fixed costs once
+# chunk culling is coarse); 1024 exceeds the 16 MB scoped-VMEM limit.
+DEFAULT_RAY_TILE = int(_os.environ.get("MCPT_WOOP_TILE", "512"))
 # Triangles per cullable chunk (also the culling granularity). Swept on
 # veach-mis 1024^2 e2e (round 5): C=64/128/256/512/768 -> 3.6/6.6/6.9/
 # 7.5/7.6 Mrays/s — per-chunk fixed costs (mask read, pl.when boundary,
