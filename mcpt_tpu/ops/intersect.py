@@ -76,11 +76,26 @@ def _min_and_first_index(t_cand: jnp.ndarray, base_idx: jnp.ndarray, axis: int):
     return tbest, idx
 
 
-def _mt_candidates(v0, e1, e2, org, dirn, det_eps):
+def _mt_candidates(v0, e1, e2, org, dirn, det_eps, f64: bool = False):
     """Moller-Trumbore for rays [R,3] x tris [C,3] -> t,u,v,det each [R,C].
 
-    Broadcast layout: rays on axis 0, triangles on axis 1.
+    Broadcast layout: rays on axis 0, triangles on axis 1. `f64=True`
+    evaluates the WHOLE predicate in double precision (the reference
+    traces geometry in double, src/utils.h:5-18) — the escape hatch for
+    scenes where f32 slab/MT rounding flips a grazing accept. Requires
+    jax_enable_x64; only the dense `mt` dispatch offers it
+    (MCPT_F64_GEOM=1), as a verification path, not a fast path.
     """
+    if f64:
+        import jax
+
+        if not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "f64 geometry requested but jax_enable_x64 is off; set "
+                "JAX_ENABLE_X64=1 (or jax.config.update) first"
+            )
+        v0, e1, e2 = (x.astype(jnp.float64) for x in (v0, e1, e2))
+        org, dirn = org.astype(jnp.float64), dirn.astype(jnp.float64)
     o = org[:, None, :]  # [R,1,3]
     d = dirn[:, None, :]
     tv0 = v0[None, :, :]  # [1,C,3]
@@ -98,14 +113,16 @@ def _mt_candidates(v0, e1, e2, org, dirn, det_eps):
     return t * inv, u * inv, v * inv, jnp.abs(det) >= det_eps
 
 
-def _closest_over_block(v0, e1, e2, tri_base, org, dirn, t_min, t_max, tri_valid=None):
+def _closest_over_block(v0, e1, e2, tri_base, org, dirn, t_min, t_max,
+                        tri_valid=None, f64: bool = False):
     """Closest hit of each ray against one triangle block.
 
     Returns per-ray (t, global_tri_index_or_-1); t = +inf on miss.
     `t_max` is the *exclusive* upper bound per ray ([R] or scalar).
     Fully fused: min-reductions only, no dynamic gathers (see Hit).
     """
-    t, u, v, ok = _mt_candidates(v0, e1, e2, org, dirn, DET_EPS_CLOSEST)
+    t, u, v, ok = _mt_candidates(v0, e1, e2, org, dirn, DET_EPS_CLOSEST,
+                                 f64=f64)
     tm = jnp.asarray(t_min)
     tM = jnp.asarray(t_max)
     if tM.ndim == 1:
@@ -119,15 +136,17 @@ def _closest_over_block(v0, e1, e2, tri_base, org, dirn, t_min, t_max, tri_valid
     C = t_cand.shape[1]
     base = tri_base + jnp.arange(C, dtype=jnp.int32)[None, :]
     best_t, idx = _min_and_first_index(t_cand, base, axis=1)
-    return best_t, jnp.where(best_t < F32_MAX, idx, -1)
+    return (best_t.astype(jnp.float32),
+            jnp.where(best_t < F32_MAX, idx, -1))
 
 
-def _any_over_block(v0, e1, e2, org, dirn, t_min, t_max, tri_valid=None):
+def _any_over_block(v0, e1, e2, org, dirn, t_min, t_max, tri_valid=None,
+                    f64: bool = False):
     """Boolean any-hit of each ray against a block ([R] bool).
 
     Inclusive t interval, matching reference Triangle::isIntersect.
     """
-    t, u, v, ok = _mt_candidates(v0, e1, e2, org, dirn, DET_EPS_ANY)
+    t, u, v, ok = _mt_candidates(v0, e1, e2, org, dirn, DET_EPS_ANY, f64=f64)
     tm = jnp.asarray(t_min)
     tM = jnp.asarray(t_max)
     if tM.ndim == 1:
@@ -158,18 +177,20 @@ def _pad_tris(geom: Geometry, chunk: int):
 
 
 def closest_hit_bruteforce(
-    scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX, chunk: int = DEFAULT_CHUNK
+    scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX,
+    chunk: int = DEFAULT_CHUNK, f64: bool = False,
 ) -> Hit:
     """Intersect-all closest hit, tiled over triangle chunks with lax.scan.
 
     For small scenes (cornell/veach class) this is faster on TPU than any
-    tree: zero divergence, pure VPU throughput.
+    tree: zero divergence, pure VPU throughput. `f64=True` evaluates the
+    accept predicate in double (see _mt_candidates).
     """
     geom = scene.geom
     T = geom.v0.shape[0]
     if T <= chunk:
         t, tri = _closest_over_block(
-            geom.v0, geom.e1, geom.e2, 0, org, dirn, t_min, t_max
+            geom.v0, geom.e1, geom.e2, 0, org, dirn, t_min, t_max, f64=f64
         )
         return Hit(t=t, tri=tri)
 
@@ -190,7 +211,8 @@ def closest_hit_bruteforce(
         bt, btri = carry
         cv0, ce1, ce2, cvalid, base = xs
         t, tri = _closest_over_block(
-            cv0, ce1, ce2, base, org, dirn, t_min, t_max, tri_valid=cvalid
+            cv0, ce1, ce2, base, org, dirn, t_min, t_max, tri_valid=cvalid,
+            f64=f64,
         )
         better = t < bt
         return (
@@ -204,13 +226,15 @@ def closest_hit_bruteforce(
 
 
 def any_hit_bruteforce(
-    scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX, chunk: int = DEFAULT_CHUNK
+    scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX,
+    chunk: int = DEFAULT_CHUNK, f64: bool = False,
 ) -> jnp.ndarray:
     """Boolean occlusion test (shadow rays), tiled like closest_hit."""
     geom = scene.geom
     T = geom.v0.shape[0]
     if T <= chunk:
-        return _any_over_block(geom.v0, geom.e1, geom.e2, org, dirn, t_min, t_max)
+        return _any_over_block(geom.v0, geom.e1, geom.e2, org, dirn,
+                               t_min, t_max, f64=f64)
 
     v0, e1, e2, valid, Tp = _pad_tris(geom, chunk)
     n_chunks = Tp // chunk
@@ -221,7 +245,8 @@ def any_hit_bruteforce(
 
     def body(carry, xs):
         cv0, ce1, ce2, cvalid = xs
-        hit = _any_over_block(cv0, ce1, ce2, org, dirn, t_min, t_max, tri_valid=cvalid)
+        hit = _any_over_block(cv0, ce1, ce2, org, dirn, t_min, t_max,
+                              tri_valid=cvalid, f64=f64)
         return carry | hit, None
 
     init = jnp.zeros((org.shape[0],), bool)
@@ -515,15 +540,18 @@ def uses_treelets(scene) -> bool:
 
 
 def closest_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
-    """Dispatch (exactly three paths, VERDICT r3 #8):
+    """Dispatch (four paths since round 5):
 
       * treelet Pallas megakernel — every scene past TREELET_MIN_TRIS on a
         real TPU (ops/pallas/traverse); the reference analogously builds a
         BVH for every scene (src/Render.cpp:9)
       * skip-link BVH walk — large scenes off-TPU / MCPT_TRAVERSAL=bvh
         (ops/traverse)
+      * fused VMEM Woop kernel — mid scenes (DENSE_KERNEL_MIN_TRIS <
+        T <= BRUTE_FORCE_MAX_TRIS) on a real TPU, run under the pipelined
+        split wavefront (ops/pallas/woop; see uses_woop_kernel)
       * dense intersect-all (XLA Woop matmul or plain Moller-Trumbore) —
-        small scenes, where zero divergence beats any tree
+        tiny scenes, where the fully XLA-fused wave beats everything
     """
     sg = jax.lax.stop_gradient
     if uses_treelets(scene):
@@ -544,6 +572,11 @@ def closest_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> Hit:
 
         return closest_hit_woop_fused(scene, sg(org), sg(dirn), t_min,
                                       sg(t_max))
+    if _os.environ.get("MCPT_F64_GEOM") == "1":
+        # reference-parity escape hatch: geometry in double
+        # (src/utils.h:5-18). Dense scenes only; requires jax x64.
+        return closest_hit_bruteforce(scene, org, dirn, t_min, t_max,
+                                      f64=True)
     if DENSE_ALGO == "mt":
         return closest_hit_bruteforce(scene, org, dirn, t_min, t_max)
     return closest_hit_woop(scene, org, dirn, t_min, t_max)
@@ -564,6 +597,8 @@ def any_hit(scene: Scene, org, dirn, t_min=T_MIN, t_max=F32_MAX) -> jnp.ndarray:
         from mcpt_tpu.ops.pallas.woop import any_hit_woop_fused
 
         return any_hit_woop_fused(scene, sg(org), sg(dirn), t_min, sg(t_max))
+    if _os.environ.get("MCPT_F64_GEOM") == "1":
+        return any_hit_bruteforce(scene, org, dirn, t_min, t_max, f64=True)
     if DENSE_ALGO == "mt":
         return any_hit_bruteforce(scene, org, dirn, t_min, t_max)
     return any_hit_woop(scene, org, dirn, t_min, t_max)

@@ -164,3 +164,65 @@ def test_degenerate_triangle_rejected(rng):
     d = jnp.asarray([[0.0, 0.0, 1.0]])
     assert closest_hit_bruteforce(scene, o, d).tri[0] == -1
     assert not bool(any_hit_bruteforce(scene, o, d)[0])
+
+
+def _soup_scene(v0, e1, e2):
+    """Scene from explicit triangle arrays (f32 storage — the f64 escape
+    hatch promotes at trace time; these coords are exactly representable)."""
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    scene, *_ = _random_tri_scene(rng, v0.shape[0])
+    import dataclasses as dc
+
+    geom = dc.replace(
+        scene.geom,
+        v0=jnp.asarray(v0, jnp.float32),
+        e1=jnp.asarray(e1, jnp.float32),
+        e2=jnp.asarray(e2, jnp.float32),
+    )
+    return dc.replace(scene, geom=geom)
+
+
+def test_f64_geometry_escape_hatch():
+    """MCPT_F64_GEOM parity item (reference traces geometry in double,
+    src/utils.h:5-18): rays grazing a far-from-origin triangle edge by
+    offsets below f32 resolution are classified correctly by the f64
+    predicate (vs a numpy f64 oracle), while f32 provably cannot
+    distinguish them."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        import dataclasses as dc
+
+        import jax.numpy as jnp
+
+        from mcpt_tpu.ops.intersect import closest_hit_bruteforce
+
+        # triangle at large coordinates: f32 ulp there is ~1e-3
+        base = 1.0e4
+        v0 = np.array([[base, base, 0.0]])
+        e1 = np.array([[1.0, 0.0, 0.0]])
+        e2 = np.array([[0.0, 1.0, 0.0]])
+        scene = _soup_scene(v0, e1, e2)
+
+        # rays straight down onto points straddling the u=0 edge by +-1e-5
+        eps = 1e-5
+        xs = np.array([base + 0.5, base + 0.5])
+        ys = np.array([base + eps, base - eps])  # inside, outside
+        org = jnp.asarray(
+            np.stack([xs, ys, np.ones(2)], axis=1), jnp.float64
+        )
+        d = jnp.asarray(np.tile([0.0, 0.0, -1.0], (2, 1)), jnp.float64)
+
+        hit = closest_hit_bruteforce(scene, org, d, f64=True)
+        tri = np.asarray(hit.tri)
+        assert tri[0] == 0, "inside-edge ray must hit in f64"
+        assert tri[1] == -1, "outside-edge ray must miss in f64"
+        # f32 cannot represent the +-1e-5 offset at coordinate 1e4 at all:
+        # both origins collapse to the same f32 value
+        o32 = np.asarray(org, np.float32)
+        assert o32[0, 1] == o32[1, 1], "offsets must be sub-f32-ulp"
+    finally:
+        jax.config.update("jax_enable_x64", False)
