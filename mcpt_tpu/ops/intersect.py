@@ -479,6 +479,12 @@ if TRAVERSAL not in _VALID_TRAVERSAL:
     )
 
 
+# Trace-time context: parallel/shard.render_pass_sharded sets this while
+# its (jitted) body traces, steering `auto` dense dispatch away from the
+# fused kernel inside shard_map programs.
+_IN_SHARDED_TRACE = False
+
+
 def uses_woop_kernel(scene) -> bool:
     """Static: does dispatch use the fused VMEM Woop kernel?
 
@@ -505,6 +511,11 @@ def uses_woop_kernel(scene) -> bool:
     if DENSE_ALGO == "woop-fused":
         return True
     if DENSE_ALGO != "auto":
+        return False
+    if _IN_SHARDED_TRACE:
+        # a shard_map pass is ONE device program with a lax.while_loop —
+        # the fusion-inflation regime the split loop exists to avoid; the
+        # pure-XLA dense path is the measured winner there (PERF_NOTES)
         return False
     try:
         return jax.default_backend() == "tpu"

@@ -106,6 +106,24 @@ def render_pass_sharded(
 
     Requires H % n_tiles == 0 and spp_per_pass % n_spp == 0.
     """
+    # trace-time context flag: this body runs while jit traces, and the
+    # intersection dispatch must not pick the fused Pallas kernel inside a
+    # shard_map while-loop (the fusion-inflation regime; see
+    # ops/intersect.uses_woop_kernel)
+    from mcpt_tpu.ops import intersect as _isec
+
+    _isec._IN_SHARDED_TRACE = True
+    try:
+        return _render_pass_sharded_body(
+            scene, film, key, start_idx, mesh, max_bounces, spp_per_pass
+        )
+    finally:
+        _isec._IN_SHARDED_TRACE = False
+
+
+def _render_pass_sharded_body(
+    scene, film, key, start_idx, mesh, max_bounces, spp_per_pass
+) -> Film:
     cam = scene.camera
     W, H = cam.width, cam.height
     nt = mesh.shape["tiles"]
