@@ -134,7 +134,7 @@ def wavefront_mode(scene) -> str:
     return _wm(scene)
 
 
-@partial(jax.jit, donate_argnames=("st", "result"),
+@partial(jax.jit, donate_argnames=("result",),
          static_argnames=("size", "spp"))
 def _split_compact_jit(st, result, pos, pidx, size, spp):
     """Re-pack pending lanes into the first `size` slots.
