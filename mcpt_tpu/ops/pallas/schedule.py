@@ -192,6 +192,11 @@ def build_schedule(ts: TreeletSet, rays, ray_tile: int, v: int):
     key = jnp.where(hit, key, KEY_MISS)
     n_live = jnp.sum(hit, axis=1)
     incomplete = n_live > v
+    if key.shape[1] < v:
+        # fewer treelets than schedule capacity (tiny scenes): pad columns
+        # so the [n_tiles, 4, v/4] reshape below is always valid
+        key = jnp.pad(key, ((0, 0), (0, v - key.shape[1])),
+                      constant_values=KEY_MISS)
     sched = jax.lax.sort(key, dimension=1)[:, :v]
     # a truncated schedule may not be executed at all (dropped visits can
     # hide the true closest hit): blank it so the kernel exits the tile

@@ -117,3 +117,44 @@ def test_fused_woop_kernel_compiles_and_matches(soup):
     ref = closest_hit_woop(scene, o, d)
     got = closest_hit_woop_fused(scene, o, d, interpret=False)
     np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+
+
+@requires_tpu
+def test_fused_any_kernel_matches_on_hw(soup):
+    """Any-hit side of the fused kernel, incl. the round-5 SMEM chunk-mask
+    pre-pass (a wrongly-culled chunk would flip occlusion bits)."""
+    from mcpt_tpu.ops.intersect import any_hit_woop
+    from mcpt_tpu.ops.pallas.woop import any_hit_woop_fused
+
+    ts, v0, e1, e2, o, d = soup
+    scene = _dense_scene(v0, e1, e2)
+    ref = any_hit_woop(scene, o, d, t_max=jnp.float32(6.0))
+    got = any_hit_woop_fused(scene, o, d, t_max=jnp.float32(6.0),
+                             interpret=False)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@requires_tpu
+def test_schedule_kernel_matches_voted_on_hw(soup):
+    """The schedule-fed traversal experiment (ops/pallas/schedule) must
+    stay bitwise-equal to the voted kernel — including its exact fallback
+    for truncated tiles (the 512-ray batch over 3000 tris truncates
+    plenty at V=512)."""
+    from mcpt_tpu.ops.pallas.schedule import (
+        any_hit_schedule,
+        closest_hit_schedule,
+    )
+    from mcpt_tpu.ops.pallas.traverse import (
+        any_hit_treelets,
+        closest_hit_treelets,
+    )
+
+    ts, v0, e1, e2, o, d = soup
+    scene = _FakeScene(ts)
+    ref = closest_hit_treelets(scene, o, d)
+    got = closest_hit_schedule(scene, o, d)
+    np.testing.assert_array_equal(np.asarray(got.tri), np.asarray(ref.tri))
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(ref.t))
+    ra = any_hit_treelets(scene, o, d, t_max=6.0)
+    ga = any_hit_schedule(scene, o, d, t_max=6.0)
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(ra))
