@@ -284,3 +284,30 @@ def test_split_wavefront_compaction_bitwise(cornell_scene, monkeypatch):
                                         max_bounces=8, spp_per_pass=4)
     np.testing.assert_array_equal(np.asarray(L0), np.asarray(L1))
     assert int(nr0) == int(nr1)
+
+
+def test_wavefront_mode_and_chunk_policy(cornell_scene, monkeypatch):
+    """Dispatch policy unit checks: pure-XLA scenes keep the fused loop
+    with execution-bounded chunks; forced split mode gets whole-image
+    chunks; env overrides are honored."""
+    from mcpt_tpu.render.integrator import (
+        DEFAULT_CHUNK_RAYS,
+        chunk_rays_for,
+        wavefront_mode,
+    )
+
+    # cornell (32 tris) on CPU: loop mode, default chunk
+    assert wavefront_mode(cornell_scene) == "loop"
+    assert chunk_rays_for(cornell_scene) == DEFAULT_CHUNK_RAYS
+
+    monkeypatch.setenv("MCPT_WAVEFRONT", "split")
+    assert wavefront_mode(cornell_scene) == "split"
+    r = cornell_scene.camera.width * cornell_scene.camera.height
+    assert chunk_rays_for(cornell_scene) == max(r, DEFAULT_CHUNK_RAYS)
+
+    monkeypatch.setenv("MCPT_CHUNK_LANES", "4096")
+    assert chunk_rays_for(cornell_scene) == 4096
+
+    monkeypatch.setenv("MCPT_WAVEFRONT", "bogus")
+    with pytest.raises(ValueError):
+        wavefront_mode(cornell_scene)
