@@ -46,8 +46,12 @@ ID_MISS = np.int32(2**30)
 
 # 128 measured fastest on v5e for sorted incoherent batches (bathroom-
 # stress): smaller tiles shrink the per-tile treelet union; below 128 the
-# per-visit fixed costs dominate. 1024 exceeds the scoped-VMEM stack.
-DEFAULT_RAY_TILE = 128
+# per-visit fixed costs dominate; 256 loses on the union (re-measured
+# round 5 at whole-image sort scope). 1024 exceeds the scoped-VMEM stack.
+# MCPT_TREELET_TILE overrides for experiments.
+import os as _os_tile
+
+DEFAULT_RAY_TILE = int(_os_tile.environ.get("MCPT_TREELET_TILE", "128"))
 
 
 def _entry_keys(box_ref, o, inv, t_lo, t_hi, bits):
