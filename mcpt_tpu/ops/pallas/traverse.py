@@ -757,6 +757,9 @@ def any_hit_treelets(
     ray_tile: int = DEFAULT_RAY_TILE, interpret: bool = None,
     sort_rays: bool = True,
 ):
+    # (measured round 5: skipping this sort to "inherit" the primary
+    # batch's order costs ~2x e2e — wavefront lanes hold MIXED bounce
+    # depths, so shadow origins scatter even when the closest batch sorts)
     if interpret is None:
         interpret = _default_interpret()
     if sort_rays and org.shape[0] > ray_tile:
